@@ -1,0 +1,151 @@
+"""Single-pass per-partition column statistics + predicate-violation counts.
+
+This is the engine's workhorse: ALL metric-style constraints for a table
+(null fractions, min/max, length quantiles, domain/range/regex/row-check
+violation counts, approximate distinct counts for uniqueness candidates)
+are fused into ONE ``groupBy(partition_col).agg(...)`` so the table is
+scanned exactly once per validation run. Catalyst turns this into a
+partial+final hash aggregate with whole-stage codegen; at 100 TB the cost
+is one pass over the data with map-side combine — no shuffle of raw rows,
+only of per-partition partial aggregates.
+
+Generalizes the reference's per-table assertion scripts
+(reference: etl/test.py:60-128, tests/test_etl.py:25-65) where each check
+re-scanned the pandas frame independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anomaly_detector_faironchain_spark.plans.spec import (
+    InRange,
+    InSet,
+    LengthInRange,
+    NotNull,
+    Regex,
+    RowCheck,
+    TableSpec,
+    Unique,
+)
+
+# Sentinel partition value when a table has no partition column.
+WHOLE_TABLE = "__whole_table__"
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+# Quantiles tracked for string-length profiles (north-rule "length
+# quantiles via sketches"): percentile_approx is KLL-sketch-backed in
+# Spark — mergeable per-partition, constant memory at any scale.
+LENGTH_QUANTILES = (0.5, 0.95, 0.99)
+
+
+def violation_predicate(c, df_cols: list[str]) -> Column | None:
+    """Boolean Column that is true where a row VIOLATES constraint c.
+
+    Null handling mirrors the reference suites: format/domain/range checks
+    skip nulls (nullness is NotNull's job); NotNull and RowCheck count
+    nulls as violations.
+    """
+    if isinstance(c, NotNull):
+        pred = F.lit(False)
+        for col in c.cols:
+            pred = pred | F.col(col).isNull()
+        return pred
+    if isinstance(c, Regex):
+        col = F.col(c.col)
+        return col.isNotNull() & ~col.rlike(f"^(?:{c.pattern})$")
+    if isinstance(c, InRange):
+        col = F.col(c.col)
+        return col.isNotNull() & ~col.between(F.lit(c.lo), F.lit(c.hi))
+    if isinstance(c, InSet):
+        col = F.col(c.col)
+        return col.isNotNull() & ~col.isin(list(c.values))
+    if isinstance(c, LengthInRange):
+        col = F.col(c.col)
+        return col.isNotNull() & ~F.length(col).between(F.lit(c.lo), F.lit(c.hi))
+    if isinstance(c, RowCheck):
+        # violation = predicate is false OR null (null-hostile, like an
+        # assertion): coalesce(expr, false) == false
+        return ~F.coalesce(F.expr(c.sql_expr), F.lit(False))
+    return None
+
+
+def partition_expr(spec: TableSpec) -> Column:
+    if spec.partition_col:
+        return F.coalesce(
+            F.col(spec.partition_col).cast("string"), F.lit("__null__")
+        )
+    return F.lit(WHOLE_TABLE)
+
+
+def profile_aggs(df: DataFrame, spec: TableSpec) -> list[Column]:
+    """The fused aggregate list for one table."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+
+    # Per-column profile: null count; numeric min/max/mean; string length
+    # quantiles. Column pruning: only profile columns a constraint or the
+    # caller cares about — here every df column (callers may pre-select).
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    for col, dt in dtypes.items():
+        aggs.append(
+            F.sum(F.col(col).isNull().cast("long")).alias(f"null_count__{col}")
+        )
+        if isinstance(dt, _NUMERIC_TYPES):
+            aggs.append(F.min(col).cast("double").alias(f"min__{col}"))
+            aggs.append(F.max(col).cast("double").alias(f"max__{col}"))
+            aggs.append(F.avg(col).alias(f"mean__{col}"))
+        elif isinstance(dt, T.StringType):
+            aggs.append(
+                F.percentile_approx(
+                    F.length(col), list(LENGTH_QUANTILES), 10000
+                ).alias(f"len_q__{col}")
+            )
+            aggs.append(F.max(F.length(col)).alias(f"len_max__{col}"))
+
+    # One violation-count aggregate per metric constraint.
+    for c in spec.constraints:
+        pred = violation_predicate(c, df.columns)
+        if pred is not None:
+            aggs.append(
+                F.sum(pred.cast("long")).alias(f"violations__{c.check_id()}")
+            )
+
+    # Approximate distinct counts for uniqueness candidates (phase 1 of
+    # the two-phase exact-fallback check, see operators/uniqueness.py).
+    for u in spec.by_type(Unique):
+        key = (
+            F.col(u.cols[0])
+            if len(u.cols) == 1
+            else F.concat_ws("\x1f", *[F.col(c) for c in u.cols])
+        )
+        aggs.append(
+            F.approx_count_distinct(key, u.rsd).alias(
+                f"approx_distinct__{u.check_id()}"
+            )
+        )
+        null_pred = F.lit(False)
+        for col in u.cols:
+            null_pred = null_pred | F.col(col).isNull()
+        aggs.append(
+            F.sum(null_pred.cast("long")).alias(f"key_nulls__{u.check_id()}")
+        )
+    return aggs
+
+
+def profile_table(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """ONE scan → one row per partition with every fused metric."""
+    return (
+        df.groupBy(partition_expr(spec).alias("partition_id"))
+        .agg(*profile_aggs(df, spec))
+    )

@@ -1,0 +1,112 @@
+"""Two-phase uniqueness: approx_count_distinct screen + exact fallback.
+
+Phase 1 (inside the fused stats pass, operators/stats.py): per partition,
+``approx_count_distinct(key, rsd)`` vs exact row count. A partition is a
+*suspect* if the approximate distinct count falls short of the non-null
+row count by more than the sketch's error margin — or trivially if the
+key has nulls.
+
+Phase 2 (this module): ONLY suspect partitions are re-scanned with an
+exact ``groupBy(key).count()`` and duplicate rows are materialized as
+violations. At 10^12 rows the overwhelmingly common clean partition costs
+one HLL sketch (constant memory, mergeable, map-side combined); the exact
+shuffle is paid only where a duplicate plausibly exists.
+
+Generalizes the reference's pandas ``is_unique`` assertions
+(reference: etl/test.py:64-67, tests/test_etl.py:29-32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators.stats import partition_expr
+from anomaly_detector_faironchain_spark.plans.spec import TableSpec, Unique
+
+
+def suspect_partitions(profile: DataFrame, u: Unique) -> DataFrame:
+    """Filter the (small) profile table to partitions needing exact check.
+
+    profile: output of stats.profile_table. Returns partition_id rows.
+    """
+    cid = u.check_id()
+    approx = F.col(f"approx_distinct__{cid}")
+    nulls = F.col(f"key_nulls__{cid}")
+    nonnull = F.col("n_rows") - nulls
+    margin = F.lit(u.rsd_margin * u.rsd) * nonnull
+    return profile.filter((nulls > 0) | (approx < nonnull - margin)).select(
+        "partition_id"
+    )
+
+
+def exact_duplicates(
+    df: DataFrame,
+    spec: TableSpec,
+    u: Unique,
+    suspect_ids: list[str] | None = None,
+) -> DataFrame:
+    """Exact duplicate-key groups, optionally restricted to suspect
+    partitions (partition pruning happens at the scan when the partition
+    column is a physical partition/bucket column).
+
+    Returns one row per duplicated key: (partition_id, <key cols>, dup_count).
+    """
+    part = partition_expr(spec).alias("partition_id")
+    scoped = df
+    if suspect_ids is not None:
+        if not suspect_ids:
+            # no suspects → empty result without scanning
+            scoped = df.limit(0)
+        elif spec.partition_col:
+            scoped = df.filter(
+                F.coalesce(F.col(spec.partition_col).cast("string"), F.lit("__null__")).isin(
+                    suspect_ids
+                )
+            )
+    key_cols = [F.col(c) for c in u.cols]
+    return (
+        scoped.groupBy(part, *key_cols)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def check_unique(
+    df: DataFrame, spec: TableSpec, u: Unique, profile: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Full two-phase check.
+
+    Returns (verdict_df, violations_df):
+      verdict: (partition_id, check_id, passed, n_violations)
+      violations: duplicate key groups from exact_duplicates().
+    mode='exact' → the duplicate pass covers every partition;
+    mode='approx_screen' → only HLL suspects (``suspect_partitions`` is
+    tiny — one row per partition — so collecting it is driver-cheap).
+    """
+    if u.mode == "exact":
+        suspects = None
+    else:
+        suspects = [r.partition_id for r in suspect_partitions(profile, u).collect()]
+    dups = exact_duplicates(df, spec, u, suspects)
+    dup_stats = dups.groupBy("partition_id").agg(
+        F.sum(F.col("dup_count") - 1).alias("n_dup_rows")
+    )
+    cid = u.check_id()
+    verdict = (
+        profile.select("partition_id", f"key_nulls__{cid}")
+        .join(dup_stats, "partition_id", "left")
+        .select(
+            "partition_id",
+            F.lit(cid).alias("check_id"),
+            (
+                (F.coalesce(F.col("n_dup_rows"), F.lit(0)) == 0)
+                & (F.col(f"key_nulls__{cid}") == 0)
+            ).alias("passed"),
+            (
+                F.coalesce(F.col("n_dup_rows"), F.lit(0))
+                + F.col(f"key_nulls__{cid}")
+            ).alias("n_violations"),
+        )
+    )
+    return verdict, dups

@@ -1,0 +1,29 @@
+"""Declarative constraint specs and the plan compiler."""
+
+from anomaly_detector_faironchain_spark.plans.spec import (
+    Constraint,
+    Drift,
+    ForeignKey,
+    InRange,
+    InSet,
+    LengthInRange,
+    NotNull,
+    Regex,
+    RowCheck,
+    TableSpec,
+    Unique,
+)
+
+__all__ = [
+    "Constraint",
+    "Drift",
+    "ForeignKey",
+    "InRange",
+    "InSet",
+    "LengthInRange",
+    "NotNull",
+    "Regex",
+    "RowCheck",
+    "TableSpec",
+    "Unique",
+]

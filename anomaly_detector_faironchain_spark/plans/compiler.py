@@ -1,0 +1,312 @@
+"""Compile a TableSpec into the minimum number of scan passes and run it.
+
+Pass structure for one table (the whole suite, regardless of how many
+constraints it contains):
+  1. ONE fused aggregation scan   → per-partition profile (operators/stats.py)
+  2. ONE exact-duplicate scan     → only over suspect partitions (uniqueness.py)
+  3. ONE anti-join per ForeignKey → violations (referential.py)
+  4. ONE histogram scan per Drift column → PSI/KS on the tiny histogram
+  5. ONE row-level scan           → materialized violation rows for every
+                                    metric constraint at once (stacked
+                                    predicates, exploded)
+
+The reference ran each assertion as its own full pandas scan
+(etl/test.py:60-128); at 10^12 rows fusing them is the difference between
+1 pass and ~20.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators import drift as drift_ops
+from anomaly_detector_faironchain_spark.operators import referential, stats, uniqueness
+from anomaly_detector_faironchain_spark.plans.spec import (
+    Drift,
+    ForeignKey,
+    TableSpec,
+    Unique,
+)
+
+VERDICT_COLS = [
+    "table",
+    "partition_id",
+    "check_id",
+    "passed",
+    "metric",
+    "threshold",
+    "n_violations",
+    "description",
+]
+
+VIOLATION_COLS = ["table", "partition_id", "check_id", "description", "row_payload"]
+
+
+@dataclass
+class ValidationResult:
+    table: str
+    profile: DataFrame
+    verdicts: DataFrame
+    violations: DataFrame
+    drift_scores: dict[str, DataFrame] = field(default_factory=dict)
+
+    def passed(self) -> bool:
+        return self.verdicts.filter(~F.col("passed")).limit(1).count() == 0
+
+
+def _metric_verdicts(profile: DataFrame, spec: TableSpec) -> DataFrame | None:
+    """Melt the fused profile's violation counters into verdict rows."""
+    checks = [
+        c
+        for c in spec.constraints
+        if stats.violation_predicate(c, []) is not None
+    ]
+    if not checks:
+        return None
+    parts = []
+    for c in checks:
+        cid = c.check_id()
+        parts.append(
+            profile.select(
+                F.lit(spec.name).alias("table"),
+                F.col("partition_id"),
+                F.lit(cid).alias("check_id"),
+                (F.col(f"violations__{cid}") == 0).alias("passed"),
+                F.col(f"violations__{cid}").cast("double").alias("metric"),
+                F.lit(0.0).alias("threshold"),
+                F.col(f"violations__{cid}").alias("n_violations"),
+                F.lit(c.description()).alias("description"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _row_violations(df: DataFrame, spec: TableSpec, limit_per_check: int | None) -> DataFrame:
+    """ONE scan materializing violating rows for every metric constraint:
+    build an array of (check_id, violated) structs per row, explode, keep
+    violations. Payload is the full row as JSON."""
+    checks = []
+    for c in spec.constraints:
+        pred = stats.violation_predicate(c, df.columns)
+        if pred is not None:
+            checks.append((c, pred))
+    spark = df.sparkSession
+    if not checks:
+        return spark.createDataFrame(
+            [], "table string, partition_id string, check_id string, "
+            "description string, row_payload string"
+        )
+    part = stats.partition_expr(spec).alias("partition_id")
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c.check_id()).alias("check_id"),
+                F.lit(c.description()).alias("description"),
+                pred.alias("violated"),
+            )
+            for c, pred in checks
+        ]
+    )
+    out = (
+        df.select(part, payload.alias("row_payload"), F.explode(structs).alias("v"))
+        .filter(F.col("v.violated"))
+        .select(
+            F.lit(spec.name).alias("table"),
+            "partition_id",
+            F.col("v.check_id").alias("check_id"),
+            F.col("v.description").alias("description"),
+            "row_payload",
+        )
+    )
+    if limit_per_check:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("partition_id", "check_id").orderBy("row_payload")
+        out = (
+            out.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= limit_per_check)
+            .drop("__rn__")
+        )
+    return out
+
+
+def validate_table(
+    df: DataFrame,
+    spec: TableSpec,
+    refs: dict[str, DataFrame] | None = None,
+    drift_refs: dict[str, DataFrame] | None = None,
+    materialize_violations: bool = True,
+    violation_limit_per_check: int | None = 1000,
+    broadcast_refs: bool = True,
+    fk_salt: int = 0,
+) -> ValidationResult:
+    """Run the full compiled suite for one table.
+
+    refs: {ref_table_name: DataFrame} for ForeignKey constraints.
+    drift_refs: {col: reference histogram DataFrame (bucket, cnt)} for
+      Drift constraints — typically the previous run's histogram loaded
+      from the checkpoint dir.
+    """
+    refs = refs or {}
+    drift_refs = drift_refs or {}
+    spark = df.sparkSession
+
+    # Pass 1: fused profile. Cached — it is tiny (one row per partition)
+    # and consumed by several verdict builders.
+    profile = stats.profile_table(df, spec).cache()
+
+    verdict_parts: list[DataFrame] = []
+    violation_parts: list[DataFrame] = []
+    drift_scores: dict[str, DataFrame] = {}
+
+    mv = _metric_verdicts(profile, spec)
+    if mv is not None:
+        verdict_parts.append(mv)
+
+    # Pass 2: uniqueness exact fallback.
+    for u in spec.by_type(Unique):
+        uv, dups = uniqueness.check_unique(df, spec, u, profile)
+        verdict_parts.append(
+            uv.select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                "check_id",
+                "passed",
+                F.col("n_violations").cast("double").alias("metric"),
+                F.lit(0.0).alias("threshold"),
+                "n_violations",
+                F.lit(u.description()).alias("description"),
+            )
+        )
+        if materialize_violations:
+            violation_parts.append(
+                dups.select(
+                    F.lit(spec.name).alias("table"),
+                    "partition_id",
+                    F.lit(u.check_id()).alias("check_id"),
+                    F.lit(u.description()).alias("description"),
+                    F.to_json(
+                        F.struct(*[F.col(c) for c in u.cols], F.col("dup_count"))
+                    ).alias("row_payload"),
+                )
+            )
+
+    # Pass 3: referential anti-joins.
+    all_parts = profile.select("partition_id")
+    for fk in spec.by_type(ForeignKey):
+        if fk.ref_table not in refs:
+            raise ValueError(f"missing ref table DataFrame: {fk.ref_table}")
+        counts, viol = referential.check_foreign_key(
+            df,
+            list(fk.cols),
+            refs[fk.ref_table],
+            list(fk.ref_cols),
+            partition_col=spec.partition_col,
+            broadcast=broadcast_refs,
+            salt=fk_salt,
+        )
+        verdict_parts.append(
+            all_parts.join(counts, "partition_id", "left")
+            .select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(fk.check_id()).alias("check_id"),
+                (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
+                F.coalesce(F.col("n_violations"), F.lit(0))
+                .cast("double")
+                .alias("metric"),
+                F.lit(0.0).alias("threshold"),
+                F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+                F.lit(fk.description()).alias("description"),
+            )
+        )
+        if materialize_violations:
+            v = viol
+            if violation_limit_per_check:
+                v = v.limit(violation_limit_per_check)
+            violation_parts.append(
+                v.select(
+                    F.lit(spec.name).alias("table"),
+                    (
+                        stats.partition_expr(spec)
+                        if spec.partition_col
+                        else F.lit(stats.WHOLE_TABLE)
+                    ).alias("partition_id"),
+                    F.lit(fk.check_id()).alias("check_id"),
+                    F.lit(fk.description()).alias("description"),
+                    F.to_json(F.struct(*[F.col(c) for c in fk.cols])).alias(
+                        "row_payload"
+                    ),
+                )
+            )
+
+    # Pass 4: drift per column, per partition, vs reference histograms.
+    for d in spec.by_type(Drift):
+        if d.col not in drift_refs:
+            raise ValueError(f"missing drift reference histogram for {d.col}")
+        ref_hist = drift_refs[d.col]
+        if d.categorical:
+            cur = drift_ops.categorical_histogram(df, d.col, spec.partition_col)
+        else:
+            cur = drift_ops.numeric_histogram(
+                df, d.col, d.bins, d.lo, d.hi, spec.partition_col
+            )
+        by_group = spec.partition_col is not None
+        if by_group:
+            cur = cur.withColumnRenamed("group_id", "group_id")
+        fn = drift_ops.psi if d.method == "psi" else drift_ops.ks
+        # reference histogram is global (no group) — replicate per group
+        # by dropping group from the join: _normalized_join needs matched
+        # shapes, so cross the ref against distinct groups.
+        if by_group:
+            groups = cur.select("group_id").distinct()
+            ref_g = groups.crossJoin(F.broadcast(ref_hist))
+        else:
+            ref_g = ref_hist
+        score = fn(cur, ref_g, by_group=by_group)
+        metric_col = "psi" if d.method == "psi" else "ks"
+        if by_group:
+            score = score.withColumnRenamed("group_id", "partition_id")
+        else:
+            score = score.withColumn("partition_id", F.lit(stats.WHOLE_TABLE))
+        drift_scores[d.check_id()] = score
+        verdict_parts.append(
+            score.select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(d.check_id()).alias("check_id"),
+                (F.col(metric_col) <= d.threshold).alias("passed"),
+                F.col(metric_col).cast("double").alias("metric"),
+                F.lit(float(d.threshold)).alias("threshold"),
+                F.lit(0).cast("long").alias("n_violations"),
+                F.lit(d.description()).alias("description"),
+            )
+        )
+
+    # Pass 5: row-level violation materialization (one scan for all).
+    if materialize_violations:
+        violation_parts.append(
+            _row_violations(df, spec, violation_limit_per_check)
+        )
+
+    verdicts = verdict_parts[0]
+    for p in verdict_parts[1:]:
+        verdicts = verdicts.unionByName(p)
+    if violation_parts:
+        violations = violation_parts[0]
+        for p in violation_parts[1:]:
+            violations = violations.unionByName(p)
+    else:
+        violations = spark.createDataFrame(
+            [],
+            "table string, partition_id string, check_id string, "
+            "description string, row_payload string",
+        )
+    return ValidationResult(spec.name, profile, verdicts, violations, drift_scores)

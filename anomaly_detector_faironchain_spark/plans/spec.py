@@ -1,0 +1,241 @@
+"""Declarative constraint specifications.
+
+Generalizes the reference's two hand-written validation suites
+(reference: etl/test.py:60-128, tests/test_etl.py:25-65) into first-class
+constraint types. Each constraint compiles to:
+  * a per-partition metric (computed in a fused single-pass aggregation
+    where possible — see operators/stats.py),
+  * a pass/fail verdict row (flag + human description, mirroring the
+    reference's rule engine pattern at
+    analysis/detectors/rule_based_anomaly_detection.py:30-259), and
+  * materialized violation rows for the failing tuples.
+
+Specs are plain frozen dataclasses — serializable, hashable, and free of
+any Spark object so a plan can be shipped to executors or persisted in a
+lineage manifest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """Base class. check_id is stable and unique within a TableSpec."""
+
+    def check_id(self) -> str:
+        raise NotImplementedError
+
+    def description(self) -> str:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class NotNull(Constraint):
+    """Columns must be non-null (reference: etl/test.py:70-77)."""
+
+    cols: tuple[str, ...]
+
+    def __init__(self, *cols: str):
+        object.__setattr__(self, "cols", tuple(cols))
+
+    def check_id(self) -> str:
+        return f"not_null({','.join(self.cols)})"
+
+    def description(self) -> str:
+        return f"columns {list(self.cols)} must be non-null"
+
+
+@dataclass(frozen=True)
+class Unique(Constraint):
+    """Key must be unique and non-null (reference: etl/test.py:64-67).
+
+    mode='exact' (default): the duplicate-detection pass
+    (groupBy(key).count() > 1, map-side combined) runs over every
+    partition — the only way to CERTIFY uniqueness.
+
+    mode='approx_screen': partitions are screened first with
+    approx_count_distinct (HLL sketch, one pass shared with the fused
+    stats aggregation) and only suspects — where the approximate distinct
+    count falls short of the row count by more than the sketch's error
+    margin — get the exact pass. This certifies nothing (an HLL cannot
+    distinguish n distinct from n-k duplicates when k < rsd·n) but finds
+    BULK duplication at a fraction of the cost; use it for
+    monitoring-grade checks on append-only partitions.
+    """
+
+    cols: tuple[str, ...]
+    mode: str = "exact"  # 'exact' | 'approx_screen'
+    rsd: float = 0.02
+    rsd_margin: float = 3.0  # suspect if approx < (1 - margin*rsd) * n
+
+    def __init__(
+        self,
+        *cols: str,
+        mode: str = "exact",
+        rsd: float = 0.02,
+        rsd_margin: float = 3.0,
+    ):
+        object.__setattr__(self, "cols", tuple(cols))
+        object.__setattr__(self, "mode", mode)
+        object.__setattr__(self, "rsd", rsd)
+        object.__setattr__(self, "rsd_margin", rsd_margin)
+
+    def check_id(self) -> str:
+        return f"unique({','.join(self.cols)})"
+
+    def description(self) -> str:
+        return f"key {list(self.cols)} must be unique and non-null"
+
+
+@dataclass(frozen=True)
+class ForeignKey(Constraint):
+    """Every non-null key must exist in the referenced table
+    (reference: etl/test.py:86-97 membership checks)."""
+
+    cols: tuple[str, ...]
+    ref_table: str
+    ref_cols: tuple[str, ...]
+
+    def check_id(self) -> str:
+        return f"fk({','.join(self.cols)})->{self.ref_table}({','.join(self.ref_cols)})"
+
+    def description(self) -> str:
+        return (
+            f"{list(self.cols)} must reference "
+            f"{self.ref_table}({list(self.ref_cols)})"
+        )
+
+
+@dataclass(frozen=True)
+class Regex(Constraint):
+    """Non-null values must fully match the pattern (reference:
+    etl/preprocess/preprocess_native_transfer.py:50-91 format validators,
+    re-expressed as vectorized rlike predicates)."""
+
+    col: str
+    pattern: str
+
+    def check_id(self) -> str:
+        return f"regex({self.col})"
+
+    def description(self) -> str:
+        return f"{self.col} must match /{self.pattern}/"
+
+
+@dataclass(frozen=True)
+class InRange(Constraint):
+    """Non-null values must lie in [lo, hi] (reference: etl/test.py:101
+    timestamp plausibility)."""
+
+    col: str
+    lo: float
+    hi: float
+
+    def check_id(self) -> str:
+        return f"in_range({self.col})"
+
+    def description(self) -> str:
+        return f"{self.col} must be in [{self.lo}, {self.hi}]"
+
+
+@dataclass(frozen=True)
+class InSet(Constraint):
+    """Non-null values must belong to the domain (reference:
+    etl/test.py:104 token_sid domain check)."""
+
+    col: str
+    values: tuple[str, ...]
+
+    def check_id(self) -> str:
+        return f"in_set({self.col})"
+
+    def description(self) -> str:
+        return f"{self.col} must be one of {sorted(self.values)}"
+
+
+@dataclass(frozen=True)
+class LengthInRange(Constraint):
+    """String length bounds (reference: etl/test.py:110-121 amount
+    digits/length checks)."""
+
+    col: str
+    lo: int
+    hi: int
+
+    def check_id(self) -> str:
+        return f"length_in_range({self.col})"
+
+    def description(self) -> str:
+        return f"length({self.col}) must be in [{self.lo}, {self.hi}]"
+
+
+@dataclass(frozen=True)
+class RowCheck(Constraint):
+    """Arbitrary row-level predicate given as a SQL boolean expression;
+    rows where it is false (or null) are violations. Generalizes the
+    reference's boolean rule engine H1-H6
+    (analysis/detectors/rule_based_anomaly_detection.py:53-220).
+
+    Example: RowCheck("sha_invariant", "sha2(content, 256) = content_sha256",
+    "content hash must match manifest").
+    """
+
+    name: str
+    sql_expr: str
+    desc: str = ""
+
+    def check_id(self) -> str:
+        return f"row_check({self.name})"
+
+    def description(self) -> str:
+        return self.desc or f"row predicate {self.name}: {self.sql_expr}"
+
+
+@dataclass(frozen=True)
+class Drift(Constraint):
+    """Distribution-drift score of a column vs a reference snapshot.
+
+    method: 'psi' (population stability index over equi-width bins) or
+    'ks' (two-sample Kolmogorov-Smirnov from the same histograms).
+    Replaces the reference's IsolationForest stage in the validation role
+    (analysis/detectors/unsupervised_learning_anomaly_detection.py) with a
+    pure-aggregation drift detector; thresholded with robust z / MAD
+    scores (operators/scoring.py).
+    """
+
+    col: str
+    method: str = "psi"  # 'psi' | 'ks'
+    bins: int = 32
+    lo: float | None = None  # None → taken from the reference snapshot
+    hi: float | None = None
+    threshold: float = 0.2  # PSI > 0.2 = drifted (industry convention); KS stat
+    categorical: bool = False  # histogram over category values, not bins
+
+    def check_id(self) -> str:
+        return f"drift_{self.method}({self.col})"
+
+    def description(self) -> str:
+        return (
+            f"{self.method.upper()} drift of {self.col} vs reference "
+            f"must be <= {self.threshold}"
+        )
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """All constraints for one table, plus its partition column.
+
+    partition_col: verdicts are emitted per distinct value of this column
+    (None → the whole table is one partition). For the north-rule
+    source-code table this is a repo-hash bucket.
+    """
+
+    name: str
+    constraints: tuple[Constraint, ...]
+    partition_col: str | None = None
+    refs: dict[str, str] = field(default_factory=dict)  # ref_table name → path/view
+
+    def by_type(self, cls) -> list:
+        return [c for c in self.constraints if isinstance(c, cls)]
