@@ -1,0 +1,42 @@
+"""Canonical TableSpecs: the north-rule source_files suite shared by
+tests, bench, and the spark-submit entrypoint.
+
+Constraint set mirrors FIXTURES.md §A: non-null core columns, unique
+file_sid, 40-hex commit format, lang domain, content length bounds,
+repo referential integrity, and the per-row sha256 invariant against
+the generator manifest (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from anomaly_detector_faironchain_spark.datagen import source_files as gen
+from anomaly_detector_faironchain_spark.plans.spec import (
+    ForeignKey,
+    InSet,
+    LengthInRange,
+    NotNull,
+    Regex,
+    RowCheck,
+    TableSpec,
+    Unique,
+)
+
+
+def north_rule_spec(partition_col: str = "bucket") -> TableSpec:
+    return TableSpec(
+        name="source_files",
+        partition_col=partition_col,
+        constraints=(
+            NotNull("repo", "path", "commit", "lang", "content"),
+            Unique("file_sid"),
+            Regex("commit", "[0-9a-f]{40}"),
+            InSet("lang", gen.LANGS),
+            LengthInRange("content", 1, 1 << 20),
+            ForeignKey(("repo",), "repos", ("repo",)),
+            RowCheck(
+                "sha_invariant",
+                "sha2(content, 256) = content_sha256",
+                "content sha256 must equal the generator manifest",
+            ),
+        ),
+    )

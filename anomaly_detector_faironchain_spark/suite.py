@@ -1,0 +1,582 @@
+"""Query suite: every implemented operator exposed as a (spark, sf_dir) ->
+DataFrame callable plus a DuckDB-equivalent ANSI-SQL oracle string.
+
+This is the correctness surface of the engine: each entry exercises one
+operator family from SURVEY.md §2 against the driver's TPC-H-ish parquet
+tables, and the oracle states the exact same semantics in portable SQL.
+
+Determinism rules used throughout (so the driver's order-insensitive
+value-hash matches):
+  * every floating aggregate is rounded (4-6 dp) and cast to double on
+    BOTH sides — double accumulation order differs between engines at the
+    ulp level, rounding absorbs it;
+  * counts are cast to bigint on both sides (DuckDB SUM(int) is hugeint);
+  * timestamps are formatted to strings at the boundary;
+  * every computed column is explicitly aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators import (
+    referential,
+    scoring,
+    stats,
+    uniqueness,
+)
+from anomaly_detector_faironchain_spark.operators import drift as drift_ops
+from anomaly_detector_faironchain_spark.plans.compiler import validate_table
+from anomaly_detector_faironchain_spark.plans.spec import (
+    ForeignKey,
+    InRange,
+    InSet,
+    NotNull,
+    Regex,
+    RowCheck,
+    TableSpec,
+    Unique,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r4(c) -> F.Column:
+    return F.round(c, 4).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: full compiled validation suite over lineitem → verdict table.
+# Exercises the fused single-pass stats (SURVEY §7.2), two-phase uniqueness
+# (§7.3), broadcast anti-join FK (§7.4) and format/domain/range predicates
+# (§7.5) in one run. Reference semantics: etl/test.py:60-128.
+# ---------------------------------------------------------------------------
+
+def lineitem_spec() -> TableSpec:
+    return TableSpec(
+        name="lineitem",
+        partition_col="l_returnflag",
+        constraints=(
+            NotNull("l_quantity", "l_extendedprice"),
+            InRange("l_discount", 0.0, 0.1),
+            InSet("l_returnflag", ("A", "N", "R")),
+            Regex("l_linestatus", "[OF]"),
+            RowCheck("qty_positive", "l_quantity > 0",
+                     "quantity must be strictly positive"),
+            Unique("l_orderkey", "l_linenumber"),
+            ForeignKey(("l_partkey",), "part", ("p_partkey",)),
+        ),
+    )
+
+
+def q_validation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    res = validate_table(li, lineitem_spec(), refs={"part": part},
+                         materialize_violations=False)
+    return res.verdicts.select(
+        "table", "partition_id", "check_id", "passed",
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
+
+
+ORACLE_VALIDATION_VERDICTS = """
+WITH base AS (
+  SELECT COALESCE(CAST(l_returnflag AS VARCHAR), '__null__') AS partition_id, *
+  FROM lineitem
+), m AS (
+  SELECT partition_id,
+    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+    CAST(SUM(CASE WHEN l_discount IS NOT NULL AND NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+    CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+    CAST(SUM(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_full_match(l_linestatus, '(?:[OF])') THEN 1 ELSE 0 END) AS BIGINT) AS v_regex,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_rowcheck,
+    CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS key_nulls
+  FROM base GROUP BY 1
+), d AS (
+  SELECT partition_id, l_orderkey, l_linenumber, COUNT(*) AS c
+  FROM base GROUP BY 1, 2, 3
+), du AS (
+  SELECT partition_id, CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS dups
+  FROM d GROUP BY 1
+), fk AS (
+  SELECT b.partition_id, CAST(COUNT(*) AS BIGINT) AS v
+  FROM base b
+  WHERE b.l_partkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = b.l_partkey)
+  GROUP BY 1
+)
+SELECT 'lineitem' AS "table", partition_id,
+       'not_null(l_quantity,l_extendedprice)' AS check_id,
+       v_notnull = 0 AS passed, v_notnull AS n_violations FROM m
+UNION ALL
+SELECT 'lineitem', partition_id, 'in_range(l_discount)', v_range = 0, v_range FROM m
+UNION ALL
+SELECT 'lineitem', partition_id, 'in_set(l_returnflag)', v_set = 0, v_set FROM m
+UNION ALL
+SELECT 'lineitem', partition_id, 'regex(l_linestatus)', v_regex = 0, v_regex FROM m
+UNION ALL
+SELECT 'lineitem', partition_id, 'row_check(qty_positive)', v_rowcheck = 0, v_rowcheck FROM m
+UNION ALL
+SELECT 'lineitem', m.partition_id, 'unique(l_orderkey,l_linenumber)',
+       COALESCE(du.dups, 0) + m.key_nulls = 0,
+       COALESCE(du.dups, 0) + m.key_nulls
+FROM m LEFT JOIN du USING (partition_id)
+UNION ALL
+SELECT 'lineitem', m.partition_id, 'fk(l_partkey)->part(p_partkey)',
+       COALESCE(fk.v, 0) = 0, COALESCE(fk.v, 0)
+FROM m LEFT JOIN fk USING (partition_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass per-partition profile (SURVEY §2 A5/A8/A12/A14).
+# One groupBy(partition).agg(...) — exactly the engine's pass-1.
+# ---------------------------------------------------------------------------
+
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    spec = TableSpec(
+        name="lineitem",
+        partition_col="l_returnflag",
+        constraints=(
+            NotNull("l_quantity"),
+            InRange("l_discount", 0.0, 0.05),
+        ),
+    )
+    prof = stats.profile_table(li, spec)
+    return prof.select(
+        F.col("partition_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("null_count__l_quantity").cast("long").alias("nulls_qty"),
+        _r4(F.col("min__l_quantity")).alias("min_qty"),
+        _r4(F.col("max__l_quantity")).alias("max_qty"),
+        _r4(F.col("mean__l_quantity")).alias("mean_qty"),
+        _r4(F.col("min__l_extendedprice")).alias("min_price"),
+        _r4(F.col("max__l_extendedprice")).alias("max_price"),
+        _r4(F.col("mean__l_extendedprice")).alias("mean_price"),
+        F.col("violations__in_range(l_discount)").cast("long").alias("v_discount_range"),
+    )
+
+
+ORACLE_PROFILE_STATS = """
+SELECT COALESCE(CAST(l_returnflag AS VARCHAR), '__null__') AS partition_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_qty,
+       CAST(ROUND(MIN(l_quantity), 4) AS DOUBLE) AS min_qty,
+       CAST(ROUND(MAX(l_quantity), 4) AS DOUBLE) AS max_qty,
+       CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS mean_qty,
+       CAST(ROUND(MIN(l_extendedprice), 4) AS DOUBLE) AS min_price,
+       CAST(ROUND(MAX(l_extendedprice), 4) AS DOUBLE) AS max_price,
+       CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS mean_price,
+       CAST(SUM(CASE WHEN l_discount IS NOT NULL AND NOT (l_discount BETWEEN 0.0 AND 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS v_discount_range
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate detection (uniqueness phase-2; SURVEY §2 A11).
+# ---------------------------------------------------------------------------
+
+def q_unique_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    spec = TableSpec(name="orders", constraints=(), partition_col=None)
+    dups = uniqueness.exact_duplicates(orders, spec, Unique("o_custkey"))
+    return dups.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+ORACLE_UNIQUE_DUPLICATES = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM orders GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential violations via broadcast anti-join (J4) and the salted
+# shuffle variant (north-rule skew path) — both must produce identical rows.
+# Dim is customers of one segment so real violations materialize.
+# ---------------------------------------------------------------------------
+
+def _fk_violation_df(spark, sf_dir, broadcast: bool, salt: int) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    viol = referential.anti_join_violations(
+        orders, ["o_custkey"], dim, ["c_custkey"], broadcast=broadcast, salt=salt
+    )
+    return viol.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+    )
+
+
+def q_fk_violations_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fk_violation_df(spark, sf_dir, broadcast=True, salt=0)
+
+
+def q_fk_violations_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fk_violation_df(spark, sf_dir, broadcast=False, salt=8)
+
+
+ORACLE_FK_VIOLATIONS = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM customer c
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile thresholds (A4): exact percentile, zeros excluded —
+# reference rule_based_anomaly_detection.py:4-27.
+# ---------------------------------------------------------------------------
+
+def q_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    t = scoring.quantile_thresholds(
+        li, ["l_quantity", "l_extendedprice"], q=0.99, exclude_zeros=True
+    )
+    return spark.createDataFrame(
+        [(round(t["l_quantity"], 4), round(t["l_extendedprice"], 4))],
+        "q99_quantity double, q99_price double",
+    )
+
+
+ORACLE_QUANTILE_THRESHOLDS = """
+SELECT CAST(ROUND(quantile_cont(l_quantity, 0.99), 4) AS DOUBLE) AS q99_quantity,
+       CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) AS q99_price
+FROM lineitem
+WHERE l_quantity > 0 AND l_extendedprice > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classic z-score (K1, ddof=1) and robust median/MAD z (north rule).
+# ---------------------------------------------------------------------------
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    st = scoring.zscore_stats(cust, ["c_acctbal"])
+    m, s = st["c_acctbal"]
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        _r4((F.col("c_acctbal") - F.lit(m)) / F.lit(s)).alias("z_acctbal"),
+    )
+
+
+ORACLE_ZSCORE = """
+WITH s AS (SELECT AVG(c_acctbal) AS m, STDDEV_SAMP(c_acctbal) AS sd FROM customer)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(ROUND((c_acctbal - s.m) / s.sd, 4) AS DOUBLE) AS z_acctbal
+FROM customer, s
+"""
+
+
+def q_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    st = scoring.robust_stats(sup, ["s_acctbal"])
+    med, mad = st["s_acctbal"]
+    return sup.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        _r4(scoring.robust_z(F.col("s_acctbal"), med, mad)).alias("rz_acctbal"),
+    )
+
+
+ORACLE_ROBUST_Z = """
+WITH med AS (SELECT quantile_cont(s_acctbal, 0.5) AS m FROM supplier),
+mad AS (SELECT quantile_cont(ABS(s_acctbal - med.m), 0.5) AS d FROM supplier, med)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+       CAST(ROUND(0.6745 * (s_acctbal - med.m) / (CASE WHEN mad.d > 0 THEN mad.d ELSE 1.0 END), 4) AS DOUBLE) AS rz_acctbal
+FROM supplier, med, mad
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hazen average-rank percentile (W1) — shuffle-parallel two-pass variant.
+# Reference: analysis/scoring/scoring.py:4-21.
+# ---------------------------------------------------------------------------
+
+def q_hazen_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    out = scoring.hazen_percentile_agg(sup, "s_acctbal", "pctl", ascending=True)
+    return out.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        _r4(F.col("pctl")).alias("pctl"),
+    )
+
+
+ORACLE_HAZEN_PERCENTILE = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+       CAST(ROUND(CAST(
+         ((RANK() OVER (ORDER BY s_acctbal)
+           + (COUNT(*) OVER (PARTITION BY s_acctbal) - 1) / 2.0) - 0.5)
+         / (COUNT(*) OVER ()) * 100.0 AS FLOAT), 4) AS DOUBLE) AS pctl
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# PSI drift on a categorical histogram (documents.lang, src0 as the
+# reference snapshot) and KS drift on a numeric histogram (events.value).
+# Takes IsolationForest's validation role — SURVEY §2 K4-replacement.
+# ---------------------------------------------------------------------------
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cur = drift_ops.categorical_histogram(
+        docs.filter(F.col("source") != "src0"), "lang"
+    )
+    ref = drift_ops.categorical_histogram(
+        docs.filter(F.col("source") == "src0"), "lang"
+    )
+    return drift_ops.psi(cur, ref).select(
+        F.round(F.col("psi"), 6).cast("double").alias("psi")
+    )
+
+
+ORACLE_PSI_DRIFT = """
+WITH cur AS (
+  SELECT lang AS bucket, COUNT(*) AS cnt FROM documents
+  WHERE lang IS NOT NULL AND source <> 'src0' GROUP BY 1
+), ref AS (
+  SELECT lang AS bucket, COUNT(*) AS cnt FROM documents
+  WHERE lang IS NOT NULL AND source = 'src0' GROUP BY 1
+), cp AS (SELECT bucket, cnt * 1.0 / SUM(cnt) OVER () AS p FROM cur),
+rp AS (SELECT bucket, cnt * 1.0 / SUM(cnt) OVER () AS q FROM ref),
+j AS (
+  SELECT COALESCE(cp.p, 0.0) + 1e-6 AS p, COALESCE(rp.q, 0.0) + 1e-6 AS q
+  FROM cp FULL OUTER JOIN rp USING (bucket)
+)
+SELECT CAST(ROUND(SUM((p - q) * LN(p / q)), 6) AS DOUBLE) AS psi FROM j
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cur = drift_ops.numeric_histogram(
+        ev.filter(F.col("event_type") == "purchase"), "value", 32, 0.0, 500.0
+    )
+    ref = drift_ops.numeric_histogram(
+        ev.filter(F.col("event_type") == "view"), "value", 32, 0.0, 500.0
+    )
+    return drift_ops.ks(cur, ref).select(
+        F.round(F.col("ks"), 6).cast("double").alias("ks")
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH cur AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / (500.0 / 32)) AS INT), 0), 31) AS bucket,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL AND event_type = 'purchase' GROUP BY 1
+), ref AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / (500.0 / 32)) AS INT), 0), 31) AS bucket,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL AND event_type = 'view' GROUP BY 1
+), cp AS (SELECT bucket, cnt * 1.0 / SUM(cnt) OVER () AS p FROM cur),
+rp AS (SELECT bucket, cnt * 1.0 / SUM(cnt) OVER () AS q FROM ref),
+j AS (
+  SELECT bucket, COALESCE(cp.p, 0.0) + 1e-6 AS p, COALESCE(rp.q, 0.0) + 1e-6 AS q
+  FROM cp FULL OUTER JOIN rp USING (bucket)
+), cdf AS (
+  SELECT ABS(SUM(p) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - SUM(q) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS d
+  FROM j
+)
+SELECT CAST(ROUND(MAX(d), 6) AS DOUBLE) AS ks FROM cdf
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rule engine (K2) + score combination (K5): per-customer features vs
+# quantile thresholds → flags → 0-100 score.
+# Reference: rule_based_anomaly_detection.py:30-259, scoring.py:24-48.
+# ---------------------------------------------------------------------------
+
+def q_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    feats = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_spend"),
+    )
+    th = scoring.quantile_thresholds(
+        feats, ["total_spend"], q=0.99, exclude_zeros=True
+    )
+    th_n = scoring.quantile_thresholds(
+        feats, ["n_orders"], q=0.9, exclude_zeros=True
+    )
+    t_spend = round(th["total_spend"], 4)
+    t_orders = round(th_n["n_orders"], 4)
+    rules = [
+        scoring.Rule("whale", F.col("total_spend") >= F.lit(t_spend),
+                     "total spend at or above the 99th percentile"),
+        scoring.Rule("burst", F.col("n_orders") >= F.lit(t_orders),
+                     "order count at or above the 90th percentile"),
+    ]
+    flagged = scoring.apply_rules(feats, rules)
+    scored = flagged.withColumn(
+        "rule_score",
+        F.round((F.greatest(F.col("whale_flag"), F.col("burst_flag"))
+                 + F.col("whale_flag")) * (100.0 / 2.0), 2).cast("double"),
+    )
+    return scored.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("whale_flag").cast("int").alias("whale_flag"),
+        F.col("burst_flag").cast("int").alias("burst_flag"),
+        "rule_score",
+    )
+
+
+ORACLE_RULE_FLAGS = """
+WITH feats AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders, SUM(o_totalprice) AS total_spend
+  FROM orders GROUP BY 1
+), th AS (
+  SELECT ROUND(quantile_cont(total_spend, 0.99) FILTER (WHERE total_spend > 0), 4) AS t_spend,
+         ROUND(quantile_cont(n_orders, 0.9) FILTER (WHERE n_orders > 0), 4) AS t_orders
+  FROM feats
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(CASE WHEN total_spend >= th.t_spend THEN 1 ELSE 0 END AS INT) AS whale_flag,
+       CAST(CASE WHEN n_orders >= th.t_orders THEN 1 ELSE 0 END AS INT) AS burst_flag,
+       CAST(ROUND((GREATEST(CASE WHEN total_spend >= th.t_spend THEN 1 ELSE 0 END,
+                            CASE WHEN n_orders >= th.t_orders THEN 1 ELSE 0 END)
+                   + CASE WHEN total_spend >= th.t_spend THEN 1 ELSE 0 END) * 50.0, 2) AS DOUBLE) AS rule_score
+FROM feats, th
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-K (W3) and per-group ranking (W4).
+# ---------------------------------------------------------------------------
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            _r4(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+    )
+
+
+ORACLE_TOPK_ORDERS = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(ROUND(o_totalprice, 4) AS DOUBLE) AS o_totalprice
+FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def q_ranked_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rk").cast("int").alias("rk"),
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            _r4(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+    )
+
+
+ORACLE_RANKED_PER_SEGMENT = """
+SELECT c_mktsegment, CAST(rk AS INT) AS rk, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(ROUND(c_acctbal, 4) AS DOUBLE) AS c_acctbal
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary — the canonical fused group-agg (A1/A8).
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity), 4) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice), 4) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
+       CAST(ROUND(AVG(l_discount), 4) AS DOUBLE) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {
+    "validation_verdicts": q_validation_verdicts,
+    "profile_stats": q_profile_stats,
+    "unique_duplicates": q_unique_duplicates,
+    "fk_violations_broadcast": q_fk_violations_broadcast,
+    "fk_violations_salted": q_fk_violations_salted,
+    "quantile_thresholds": q_quantile_thresholds,
+    "zscore": q_zscore,
+    "robust_z": q_robust_z,
+    "hazen_percentile": q_hazen_percentile,
+    "psi_drift": q_psi_drift,
+    "ks_drift": q_ks_drift,
+    "rule_flags": q_rule_flags,
+    "topk_orders": q_topk_orders,
+    "ranked_per_segment": q_ranked_per_segment,
+    "pricing_summary": q_pricing_summary,
+}
+
+ORACLES: dict = {
+    "validation_verdicts": ORACLE_VALIDATION_VERDICTS,
+    "profile_stats": ORACLE_PROFILE_STATS,
+    "unique_duplicates": ORACLE_UNIQUE_DUPLICATES,
+    "fk_violations_broadcast": ORACLE_FK_VIOLATIONS,
+    "fk_violations_salted": ORACLE_FK_VIOLATIONS,
+    "quantile_thresholds": ORACLE_QUANTILE_THRESHOLDS,
+    "zscore": ORACLE_ZSCORE,
+    "robust_z": ORACLE_ROBUST_Z,
+    "hazen_percentile": ORACLE_HAZEN_PERCENTILE,
+    "psi_drift": ORACLE_PSI_DRIFT,
+    "ks_drift": ORACLE_KS_DRIFT,
+    "rule_flags": ORACLE_RULE_FLAGS,
+    "topk_orders": ORACLE_TOPK_ORDERS,
+    "ranked_per_segment": ORACLE_RANKED_PER_SEGMENT,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+}

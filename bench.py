@@ -1,0 +1,95 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+The north-rule headline metric is validated files/sec for the full
+constraint suite over a generated source_files table (BASELINE.json);
+alongside it the suite queries are timed individually.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from anomaly_detector_faironchain_spark import suite  # noqa: E402
+from anomaly_detector_faironchain_spark.datagen import source_files as gen  # noqa: E402
+from anomaly_detector_faironchain_spark.plans.compiler import validate_table  # noqa: E402
+from anomaly_detector_faironchain_spark.session import get_spark  # noqa: E402
+from anomaly_detector_faironchain_spark.specs import north_rule_spec  # noqa: E402
+
+# Headline subset: one per operator family (full suite runs in pytest /
+# correctness gate; bench keeps wall-clock bounded while covering every
+# execution pattern: fused agg, two-phase unique, anti-join, drift,
+# window rank, threshold rules).
+HEADLINE = [
+    "validation_verdicts",
+    "profile_stats",
+    "unique_duplicates",
+    "fk_violations_salted",
+    "psi_drift",
+    "ks_drift",
+    "rule_flags",
+    "hazen_percentile",
+    "pricing_summary",
+]
+
+SOURCE_FILES_ROWS = int(os.environ.get("BENCH_SOURCE_ROWS", "300000"))
+
+
+def bench_source_files(spark) -> tuple[float, int]:
+    """North-rule metric: full constraint suite over source_files."""
+    files = gen.generate_source_files(spark, SOURCE_FILES_ROWS, seed=42)
+    man = gen.manifest(files)
+    repos, _ = gen.companion_dims(files)
+    df = files.join(man, "file_sid")
+    t0 = time.time()
+    res = validate_table(df, north_rule_spec(), refs={"repos": repos},
+                         materialize_violations=True)
+    res.verdicts.collect()
+    res.violations.count()
+    return time.time() - t0, SOURCE_FILES_ROWS
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", cores=cpus)
+
+    # warm the JVM/session so per-query timings measure the plan, not init
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = suite.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf_seconds, n_files = bench_source_files(spark)
+    timings["source_files_suite"] = round(sf_seconds, 3)
+    total = round(sum(timings.values()), 3)
+
+    sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf_label)
+    except ValueError:
+        sf_val = sf_label
+    print(json.dumps({
+        "metric": "validated files/sec (full constraint suite, source_files)",
+        "value": round(n_files / sf_seconds, 1),
+        "unit": "files/sec",
+        "queries": timings,
+        "suite_total_sec": total,
+        "source_files_rows": n_files,
+        "sf": sf_val,
+        "cores": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

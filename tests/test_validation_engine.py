@@ -25,6 +25,7 @@ from anomaly_detector_faironchain_spark.plans import (
     Unique,
 )
 from anomaly_detector_faironchain_spark.plans.compiler import validate_table
+from anomaly_detector_faironchain_spark.specs import north_rule_spec
 
 N = 2000
 NULL_LANG = [7, 11]
@@ -34,24 +35,7 @@ DANGLING = [101]
 DUP = [151, 163]
 
 
-def spec() -> TableSpec:
-    return TableSpec(
-        name="source_files",
-        partition_col="bucket",
-        constraints=(
-            NotNull("repo", "path", "commit", "lang", "content"),
-            Unique("file_sid"),
-            Regex("commit", "[0-9a-f]{40}"),
-            InSet("lang", gen.LANGS),
-            LengthInRange("content", 1, 1 << 20),
-            ForeignKey(("repo",), "repos", ("repo",)),
-            RowCheck(
-                "sha_invariant",
-                "sha2(content, 256) = content_sha256",
-                "content sha256 must equal the generator manifest",
-            ),
-        ),
-    )
+spec = north_rule_spec
 
 
 @pytest.fixture(scope="module")
