@@ -1,0 +1,215 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash, and
+n-gram Jaccard — the training-data-pipeline extensions of the validation
+engine (uniqueness generalized from key equality to content similarity).
+
+Scale design (10^12 documents):
+  * exact dedup is a hash groupBy — one shuffle on a 32-byte digest, with
+    map-side combine; never shuffles document bodies, only (id, digest).
+  * MinHash signatures are a single groupBy(doc).agg(k mins) over the
+    exploded shingle table — partial aggregation means the shuffle carries
+    one k-wide row per doc per map task, not per shingle.
+  * LSH banding turns all-pairs O(n²) into equi-join on band keys; hot
+    buckets (boilerplate shingles) are bounded by dropping buckets larger
+    than `max_bucket` — the standard web-dedup guard against quadratic
+    blowup inside a single bucket.
+  * The hash family is md5-based so every step is reproducible in ANSI
+    SQL (the DuckDB oracle runs the identical pipeline); swap `_hash_expr`
+    to xxhash64 for ~3x cheaper signatures when oracle parity isn't
+    needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks array<string>) — whitespace tokenization, trimmed."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-token shingles per document: (id, shingle).
+
+    element_at is 1-based; sequence(1, size-n+1) yields one window start
+    per shingle. Runs entirely in whole-stage codegen — no UDF.
+    """
+    tok = tokens(df, id_col, text_col)
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    sh = tok.select(
+        "id",
+        F.explode(
+            F.expr(f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), i -> concat_ws(' ', {parts}))")
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact content dedup: (id, content_md5, keeper_id, is_dup).
+
+    keeper = min id per digest group. Shuffles only (id, digest) pairs.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_md5")
+    )
+    keepers = hashed.groupBy("content_md5").agg(F.min("id").alias("keeper_id"))
+    return hashed.join(keepers, "content_md5").select(
+        "id",
+        "content_md5",
+        "keeper_id",
+        (F.col("id") != F.col("keeper_id")).alias("is_dup"),
+    )
+
+
+def minhash_signatures(shingle_df: DataFrame, k: int = 12) -> DataFrame:
+    """k-permutation MinHash via min(md5(i # shingle)): (id, s0..s{k-1}).
+
+    One aggregation pass; each hash column is an independent min —
+    Catalyst fuses all k into a single hash-aggregate.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"s{i}")
+        for i in range(k)
+    ]
+    return shingle_df.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Band the signatures and emit distinct candidate pairs (id_a < id_b).
+
+    Bucket-size cap: buckets with > max_bucket docs are dropped before the
+    self-join (boilerplate guard; at web scale a single viral shingle set
+    would otherwise create an O(bucket²) hot spot).
+    """
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bkey"),
+            )
+        )
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    sized = banded.join(
+        banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn")),
+        ["band", "bkey"],
+    ).filter(F.col("bn") <= max_bucket).drop("bn")
+
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(shingle_df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs: (id_a, id_b, jaccard double).
+
+    Intersection via shingle equi-join restricted to candidates (semi-join
+    pushes the pair filter into the shuffle); set sizes from one count agg.
+    """
+    sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingle_df.select(F.col("id").alias("id_a"), "shingle")
+    sb = shingle_df.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(pairs, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_all_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.5, max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via the inverted-index join
+    (no cartesian product). Shingles appearing in more than
+    max_shingle_freq docs are dropped from pair GENERATION only (stopword
+    shingles cause quadratic fan-out) but kept in the size denominator —
+    so the score is exact for any pair that shares at least one rare
+    shingle.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    rare = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle", "left_semi")
+    sa = rare.select(F.col("id").alias("id_a"), "shingle")
+    sb = rare.select(F.col("id").alias("id_b"), "shingle")
+    # candidate intersection counts over rare shingles
+    cand = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("rare_inter"))
+    )
+    # exact intersection for candidates (includes frequent shingles)
+    full = jaccard_for_pairs(sh, cand.select("id_a", "id_b"))
+    return full.filter(F.col("jaccard") >= threshold)
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: (id, simhash int).
+
+    Per token, the 16-bit hash is the first 4 hex nibbles of md5(token)
+    (nibble→int via strpos on the hex alphabet — portable to any SQL
+    engine, which is what makes the oracle exact). Bit j of the doc hash
+    is the sign of Σ_tokens (2·bit_j(h) − 1). The production-scale variant
+    is the same plan with xxhash64 and 64 bits.
+    """
+    tok = tokens(df, id_col, text_col).select(
+        "id", F.explode("toks").alias("tok")
+    ).distinct()
+    hexpos = (
+        lambda i: F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.md5(F.col("tok")), i, 1)
+        ) - 1
+    )
+    h = (hexpos(1) * 4096 + hexpos(2) * 256 + hexpos(3) * 16 + hexpos(4)).alias("h")
+    th = tok.select("id", h)
+    aggs = []
+    for j in range(16):
+        bit = F.floor(F.col("h") / (2 ** j)) % 2
+        aggs.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
+    sums = th.groupBy("id").agg(*aggs)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("id", sim.cast("int").alias("simhash"))
+
+
+def hamming16(a, b):
+    """Arithmetic Hamming distance between two 16-bit ints (portable —
+    no engine-specific xor/popcount)."""
+    d = None
+    for j in range(16):
+        bit = F.abs(F.floor(a / (2 ** j)) % 2 - F.floor(b / (2 ** j)) % 2)
+        d = bit if d is None else d + bit
+    return d.cast("int")

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — exact baseline; the query side is small
+    and broadcast, the corpus side streams through one codegen'd stage
+    (zip_with product + aggregate sum, no Python);
+  * random-hyperplane LSH — the scale path: 2^n_planes buckets, search
+    only within the query's bucket. Planes are ±1 components derived from
+    md5(plane, dim) so bucketing is deterministic and reproducible in
+    ANSI SQL (IVF with learned centroids slots into the same
+    bucket-then-rerank shape).
+
+At 10^12 vectors: bucket histogram is one groupBy; top-k per query is a
+broadcast join + per-query window — the corpus is scanned once, never
+shuffled by vector payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    query_ids: list[int], k: int = 5, round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+
+    Returns (qid, nid, cos). Ties broken by neighbor id on the ROUNDED
+    score so the result is stable across float accumulation orders.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    queries = base.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = base.crossJoin(F.broadcast(queries)).filter(
+        F.col("nid") != F.col("qid")
+    ).select(
+        "qid",
+        "nid",
+        F.round(
+            _dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")),
+            round_dp,
+        ).cast("double").alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def hyperplane_components(spark, n_planes: int = 8, dim: int = DIM) -> DataFrame:
+    """(p, d, c ∈ {+1,-1}) — deterministic pseudo-random plane components:
+    sign from the first hex nibble of md5(f'{p}_{d}')."""
+    return (
+        spark.range(n_planes).withColumnRenamed("id", "p")
+        .crossJoin(spark.range(dim).withColumnRenamed("id", "d"))
+        .select(
+            "p", "d",
+            F.when(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("p"), F.col("d"))), 1, 1
+                ).isin(*"01234567"),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)).alias("c"),
+        )
+    )
+
+
+def lsh_buckets(
+    corpus: DataFrame, id_col: str, vec_col: str, n_planes: int = 8
+) -> DataFrame:
+    """(id, bucket int): bucket bit p = [Σ_d c(p,d)·vec[d] ≥ 0].
+
+    The projection is an explode-join-agg: corpus × (n_planes·dim) small
+    broadcast table, grouped back per (id, plane). One shuffle keyed by
+    id — at scale prefer the same computation as a vectorized pandas UDF
+    (matrix multiply per Arrow batch); this formulation is the
+    oracle-exact one.
+    """
+    comp = hyperplane_components(corpus.sparkSession, n_planes)
+    exploded = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    )
+    proj = (
+        exploded.join(F.broadcast(comp), "d")
+        .groupBy("id", "p")
+        .agg(F.sum(F.col("c") * F.col("x").cast("double")).alias("s"))
+    )
+    bucket = F.sum(
+        F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0))
+    ).cast("int")
+    return proj.groupBy("id").agg(bucket.alias("bucket"))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    query_ids: list[int], k: int = 3, n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket,
+    then exact cosine re-rank. Returns (qid, nid, cos)."""
+    buckets = lsh_buckets(corpus, id_col, vec_col, n_planes)
+    base = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")) \
+        .join(buckets.withColumnRenamed("id", "nid"), "nid")
+    q = base.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("nid") != F.col("qid")),
+    )
+    scored = cand.select(
+        "qid", "nid",
+        F.round(
+            _dot(F.col("vec"), F.col("qvec"))
+            / (_norm(F.col("vec")) * _norm(F.col("qvec"))),
+            6,
+        ).cast("double").alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    ).drop("rk")
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    threshold: float = 0.97, n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed: pairs are
+    generated only within buckets (recall grows with fewer planes /
+    multiple tables), then exactly re-scored. (id_a, id_b, cos)."""
+    buckets = lsh_buckets(corpus, id_col, vec_col, n_planes)
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")) \
+        .join(buckets, "id")
+    a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
+    b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            6,
+        ).cast("double").alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= threshold)

@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data curation: token statistics,
+quality scoring, language-ID heuristic, and document fingerprinting.
+
+Everything is built from vectorized pyspark.sql.functions (split /
+transform / filter / aggregate over arrays) — no Python in the row path,
+so the whole stage stays inside whole-stage codegen and scales linearly
+with input bytes. Each operator has an exact ANSI-SQL formulation used by
+the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# marker tokens per language for the n-gram/keyword language heuristic;
+# checked in declared order, ties broken by that order.
+LANG_MARKERS = (
+    ("en", ("the", "a", "of")),
+    ("de", ("der", "die", "und")),
+    ("es", ("el", "la", "de")),
+    ("fr", ("le", "la", "et")),
+    ("zh", ("的", "是", "了")),
+)
+
+ROLLING_MOD = 1_000_000_007
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document curation stats: token count, char count, mean token
+    length, alpha ratio, stopword ratio, and a 0-100 quality score.
+
+    quality = 100·(0.5·alpha_ratio + 0.5·min(5·stop_ratio, 1)): documents
+    made of alphabetic text with a natural-language stopword rate score
+    high; symbol soup and keyword lists score low.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    stop_in = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
+    alpha_ratio = alpha_chars / n_chars
+    stop_ratio = stop_in / n_tokens
+    quality = 100.0 * (
+        0.5 * alpha_ratio + 0.5 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.round(tok_len_sum / n_tokens, 4).cast("double").alias("avg_token_len"),
+        F.round(alpha_ratio, 4).cast("double").alias("alpha_ratio"),
+        F.round(stop_ratio, 4).cast("double").alias("stop_ratio"),
+        F.round(quality, 4).cast("double").alias("quality"),
+    )
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keyword-marker language ID: predicted = argmax of marker-token
+    counts, first-declared language wins ties, 'und' when all zero."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    counts = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS
+    }
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    # reversed so the FIRST declared language wins ties after the fold
+    for lang, _ in reversed(LANG_MARKERS):
+        pred = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col).alias("id"), pred.alias("predicted_lang")
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: sha256 content digest + a token-level
+    rolling hash (fold of per-token codes, mod 1e9+7) usable as a cheap
+    order-sensitive signature.
+
+    token code = 7·len(token) + ascii(first char); rolling = foldl
+    (acc·31 + code) mod M starting at 0. All inside one codegen'd
+    expression — no UDF.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    codes = F.transform(
+        toks,
+        lambda t: (
+            F.length(t) * 7 + F.ascii(F.substring(t, 1, 1))
+        ).cast("long"),
+    )
+    rolling = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % ROLLING_MOD,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.sha2(F.col(text_col), 256).alias("sha256_hex"),
+        rolling.alias("rolling_fp"),
+    )

@@ -563,6 +563,10 @@ QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
 }
 
+from anomaly_detector_faironchain_spark import suite_curation  # noqa: E402
+
+QUERIES.update(suite_curation.QUERIES)
+
 ORACLES: dict = {
     "validation_verdicts": ORACLE_VALIDATION_VERDICTS,
     "profile_stats": ORACLE_PROFILE_STATS,
@@ -580,3 +584,5 @@ ORACLES: dict = {
     "ranked_per_segment": ORACLE_RANKED_PER_SEGMENT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
 }
+
+ORACLES.update(suite_curation.ORACLES)

@@ -1,0 +1,484 @@
+"""Curation-operator query suite: deduplication, similarity search, text
+analysis, multimodal plumbing — each with a DuckDB oracle that replicates
+the full pipeline (shingling, MinHash, LSH banding, SimHash bits, cosine)
+in ANSI SQL.
+
+Near-duplicate tests need actual near-duplicates, so several queries
+augment `documents` with deterministic perturbed copies (doc_id+100000,
+first token dropped) inside the query itself — identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text as text_ops,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _augmented(spark: SparkSession, sf_dir: str, perturb: bool) -> DataFrame:
+    """documents ∪ copies at doc_id+100000; perturb drops the first token."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    if perturb:
+        copy_text = F.expr("substring(text, instr(text, ' ') + 1)")
+    else:
+        copy_text = F.col("text")
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), copy_text.alias("text")
+    )
+    return docs.unionByName(copies)
+
+
+_AUG_SQL = {
+    True: ("SELECT doc_id, text FROM documents UNION ALL "
+           "SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1) FROM documents"),
+    False: ("SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 100000, text FROM documents"),
+}
+
+_SHINGLE_SQL = """
+tok AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM aug),
+sh AS (
+  SELECT DISTINCT id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS g(i)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented(spark, sf_dir, perturb=False)
+    return dedup.exact_dedup(aug, "doc_id", "text").select(
+        F.col("id").cast("long").alias("id"),
+        "content_md5",
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+        "is_dup",
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH aug AS ({_AUG_SQL[False]}),
+h AS (SELECT doc_id AS id, md5(text) AS content_md5 FROM aug),
+k AS (SELECT content_md5, MIN(id) AS keeper_id FROM h GROUP BY 1)
+SELECT CAST(id AS BIGINT) AS id, content_md5,
+       CAST(keeper_id AS BIGINT) AS keeper_id, id <> keeper_id AS is_dup
+FROM h JOIN k USING (content_md5)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (k=12 hashes, 4 bands × 3 rows, verify ≥ 0.6)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented(spark, sf_dir, perturb=True)
+    sh = dedup.shingles(aug, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, k=12)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3, max_bucket=50)
+    jac = dedup.jaccard_for_pairs(sh, cand)
+    return jac.filter(F.col("jaccard") >= 0.6).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 4).cast("double").alias("jaccard"),
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"MIN(md5('{i}#' || shingle)) AS s{i}" for i in range(12)
+    )
+    band_keys = " ".join(
+        f"WHEN {b} THEN md5(s{3*b} || '|' || s{3*b+1} || '|' || s{3*b+2})"
+        for b in range(4)
+    )
+    return f"""
+WITH aug0 AS ({_AUG_SQL[True]}),
+aug AS (SELECT doc_id AS id, text FROM aug0),
+{_SHINGLE_SQL},
+sig AS (SELECT id, {sig_cols} FROM sh GROUP BY 1),
+band AS (
+  SELECT id, b.band, CASE b.band {band_keys} END AS bkey
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+),
+sized AS (SELECT band, bkey FROM band GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+bb AS (SELECT band.* FROM band JOIN sized USING (band, bkey)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT sa.id AS id_a, sb.id AS id_b, COUNT(*) AS inter
+  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.id < sb.id
+  JOIN cand c ON c.id_a = sa.id AND c.id_b = sb.id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b, inter * 1.0 / (sza.sz + szb.sz - inter) AS jac
+  FROM inter
+  JOIN sz sza ON sza.id = inter.id_a
+  JOIN sz szb ON szb.id = inter.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(ROUND(jac, 4) AS DOUBLE) AS jaccard
+FROM j WHERE jac >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs n-gram Jaccard (inverted index, no LSH)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented(spark, sf_dir, perturb=True)
+    pairs = dedup.ngram_jaccard_all_pairs(
+        aug, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=100000
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 4).cast("double").alias("jaccard"),
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH aug0 AS ({_AUG_SQL[True]}),
+aug AS (SELECT doc_id AS id, text FROM aug0),
+{_SHINGLE_SQL},
+sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT sa.id AS id_a, sb.id AS id_b, COUNT(*) AS inter
+  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.id < sb.id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b, inter * 1.0 / (sza.sz + szb.sz - inter) AS jac
+  FROM inter
+  JOIN sz sza ON sza.id = inter.id_a
+  JOIN sz szb ON szb.id = inter.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(ROUND(jac, 4) AS DOUBLE) AS jaccard
+FROM j WHERE jac >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit signatures + pairwise Hamming histogram
+# ---------------------------------------------------------------------------
+
+def q_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sim = dedup.simhash16(docs, "doc_id", "text")
+    a = sim.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sim.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    ham = pairs.select(
+        dedup.hamming16(F.col("ha"), F.col("hb")).alias("hamming")
+    )
+    return ham.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def _simhash_oracle() -> str:
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(md5(tok), {i}, 1)) - 1)"  # noqa: E731
+    h = f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+    bit_sums = ", ".join(
+        f"SUM(2 * (CAST(FLOOR(h / {2 ** j}) AS BIGINT) % 2) - 1) AS b{j}"
+        for j in range(16)
+    )
+    sim_expr = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(16)
+    )
+    ham_expr = " + ".join(
+        f"ABS(CAST(FLOOR(a.simhash / {2 ** j}) AS BIGINT) % 2 - "
+        f"CAST(FLOOR(b.simhash / {2 ** j}) AS BIGINT) % 2)"
+        for j in range(16)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT id, {h} AS h FROM tok),
+sums AS (SELECT id, {bit_sums} FROM th GROUP BY 1),
+sim AS (SELECT id, CAST({sim_expr} AS INT) AS simhash FROM sums),
+ham AS (
+  SELECT CAST({ham_expr} AS INT) AS hamming
+  FROM sim a JOIN sim b ON a.id < b.id
+)
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM ham GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force kNN, LSH buckets, LSH ANN
+# ---------------------------------------------------------------------------
+
+_QIDS = list(range(10))
+
+_NORM_SQL = "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))"
+_DOT_SQL = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(list_zip({a}, {b}), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), "
+            "(x, y) -> x + y)")
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    out = similarity.cosine_topk(emb, "vec_id", "embedding", _QIDS, k=5)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        "cos",
+    )
+
+
+ORACLE_KNN_BRUTEFORCE = f"""
+WITH base AS (
+  SELECT vec_id AS nid, embedding AS vec, {_NORM_SQL.format(v='embedding')} AS nrm
+  FROM embeddings
+),
+q AS (SELECT nid AS qid, vec AS qvec, nrm AS qnrm FROM base WHERE nid IN ({', '.join(map(str, _QIDS))})),
+scored AS (
+  SELECT q.qid, base.nid,
+         CAST(ROUND({_DOT_SQL.format(a='base.vec', b='q.qvec')} / (base.nrm * q.qnrm), 6) AS DOUBLE) AS cos
+  FROM base, q WHERE base.nid <> q.qid
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos
+FROM rk WHERE r <= 5
+"""
+
+_COMP_SQL = """
+comp AS (
+  SELECT p, d,
+         CASE WHEN substr(md5(p || '_' || d), 1, 1) IN ('0','1','2','3','4','5','6','7')
+              THEN 1.0 ELSE -1.0 END AS c
+  FROM generate_series(0, 7) t(p), generate_series(0, 63) u(d)
+),
+proj AS (
+  SELECT e.vec_id AS id, comp.p,
+         SUM(comp.c * CAST(e.embedding[comp.d + 1] AS DOUBLE)) AS s
+  FROM embeddings e, comp
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT id, CAST(SUM(CASE WHEN s >= 0 THEN POW(2.0, p) ELSE 0.0 END) AS INT) AS bucket
+  FROM proj GROUP BY 1
+)"""
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_buckets(emb, "vec_id", "embedding", n_planes=8).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+
+
+ORACLE_LSH_BUCKETS = f"""
+WITH {_COMP_SQL.lstrip()}
+SELECT CAST(id AS BIGINT) AS id, bucket FROM buckets
+"""
+
+_ANN_QIDS = list(range(5))
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    out = similarity.lsh_ann_topk(emb, "vec_id", "embedding", _ANN_QIDS, k=3)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        "cos",
+    )
+
+
+ORACLE_LSH_ANN_TOPK = f"""
+WITH {_COMP_SQL.lstrip()},
+base AS (
+  SELECT e.vec_id AS nid, e.embedding AS vec, b.bucket
+  FROM embeddings e JOIN buckets b ON b.id = e.vec_id
+),
+q AS (SELECT nid AS qid, vec AS qvec, bucket AS qbucket FROM base
+      WHERE nid IN ({', '.join(map(str, _ANN_QIDS))})),
+scored AS (
+  SELECT q.qid, base.nid,
+         CAST(ROUND({_DOT_SQL.format(a='base.vec', b='q.qvec')}
+              / ({_NORM_SQL.format(v='base.vec')} * {_NORM_SQL.format(v='q.qvec')}), 6) AS DOUBLE) AS cos
+  FROM base JOIN q ON base.bucket = q.qbucket AND base.nid <> q.qid
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos
+FROM rk WHERE r <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.token_stats(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("id"),
+        "n_tokens", "n_chars", "avg_token_len", "alpha_ratio",
+        "stop_ratio", "quality",
+    )
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
+
+ORACLE_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT doc_id AS id, text, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b) AS tok_len_sum,
+    len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x))) AS stop_in,
+    length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars
+  FROM t
+)
+SELECT id, n_tokens, n_chars,
+  CAST(ROUND(tok_len_sum * 1.0 / n_tokens, 4) AS DOUBLE) AS avg_token_len,
+  CAST(ROUND(alpha_chars * 1.0 / n_chars, 4) AS DOUBLE) AS alpha_ratio,
+  CAST(ROUND(stop_in * 1.0 / n_tokens, 4) AS DOUBLE) AS stop_ratio,
+  CAST(ROUND(100.0 * (0.5 * (alpha_chars * 1.0 / n_chars)
+       + 0.5 * LEAST((stop_in * 1.0 / n_tokens) * 5.0, 1.0)), 4) AS DOUBLE) AS quality
+FROM m
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pred = text_ops.langid(docs, "doc_id", "text")
+    return pred.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    ).select(
+        F.col("id").cast("long").alias("id"),
+        "lang",
+        "predicted_lang",
+        (F.col("lang") == F.col("predicted_lang")).alias("correct"),
+    )
+
+
+def _langid_oracle() -> str:
+    cnt = {
+        lang: (f"len(list_filter(toks, x -> list_contains("
+               f"[{', '.join(repr(m) for m in markers)}], x)))")
+        for lang, markers in text_ops.LANG_MARKERS
+    }
+    best = f"GREATEST({', '.join(f'c_{k}' for k in cnt)})"
+    case = " ".join(
+        f"WHEN best > 0 AND c_{lang} = best THEN '{lang}'" for lang in cnt
+    )
+    sel = ", ".join(f"{e} AS c_{k}" for k, e in cnt.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, lang, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+c AS (SELECT id, lang, {sel} FROM t),
+b AS (SELECT *, {best} AS best FROM c)
+SELECT CAST(id AS BIGINT) AS id, lang,
+       CASE {case} ELSE 'und' END AS predicted_lang,
+       lang = (CASE {case} ELSE 'und' END) AS correct
+FROM b
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.fingerprints(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("id"),
+        "sha256_hex",
+        F.col("rolling_fp").cast("long").alias("rolling_fp"),
+    )
+
+
+ORACLE_FINGERPRINTS = """
+WITH t AS (
+  SELECT doc_id AS id, text, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT CAST(id AS BIGINT) AS id, sha256(text) AS sha256_hex,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks, x -> CAST(7 * length(x) + ascii(substr(x, 1, 1)) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS rolling_fp
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (Arrow-batched binary metadata)
+# ---------------------------------------------------------------------------
+
+def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.binary_metadata(payloads)
+
+
+ORACLE_BINARY_METADATA = """
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_hamming_hist": q_simhash_hamming_hist,
+    "knn_bruteforce": q_knn_bruteforce,
+    "lsh_buckets": q_lsh_buckets,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "token_stats": q_token_stats,
+    "langid": q_langid,
+    "fingerprints": q_fingerprints,
+    "binary_metadata": q_binary_metadata,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "minhash_lsh_neardup": _minhash_oracle(),
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "simhash_hamming_hist": _simhash_oracle(),
+    "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "lsh_buckets": ORACLE_LSH_BUCKETS,
+    "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "langid": _langid_oracle(),
+    "fingerprints": ORACLE_FINGERPRINTS,
+    "binary_metadata": ORACLE_BINARY_METADATA,
+}
