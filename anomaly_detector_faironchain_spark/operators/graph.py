@@ -1,0 +1,171 @@
+"""Graph feature operators as pure DataFrame joins/aggregations — the
+Spark-first re-expression of the reference's igraph per-vertex Python
+loops (reference: graph/feature/extract_node_features.py:49-72,
+extract_motif_features.py:48-123, extract_egonet_features.py:37-78).
+
+No graph object ever exists: "the graph" IS the aggregated edge
+DataFrame (reference builds it the same way before igraph —
+graph/construction/build_token_transfer_graph.py:26-31).
+
+Scale notes per operator:
+  * edge aggregation: one hash-shuffle on (src,dst) with map-side combine;
+  * degree/amount features: two aggs + one full-outer join on node id;
+  * mutual pairs: equi-join on the reversed key — shuffle-parallel;
+  * triangles: 3-way self-join with min-vertex orientation; hub skew is
+    the hazard (reference whitelists hubs for the same reason —
+    extract_motif_features.py:41-44) → callers should pre-filter or salt
+    mega-hubs, and AQE skew-join splits the residue;
+  * egonet: neighbor-pair join, O(Σ deg²) — the most expensive operator;
+    cap or exclude hubs exactly as the reference's whitelist does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_edges(
+    transfers: DataFrame, src: str, dst: str, amount: str, ts: str
+) -> DataFrame:
+    """Collapse parallel transfers into one edge per (src,dst) — THE
+    graph-build kernel (reference build_token_transfer_graph.py:26-31).
+    Returns (src, dst, amount, cnt, first_ts)."""
+    return (
+        transfers.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .agg(
+            F.sum(F.col(amount)).alias("amount"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.col(ts)).alias("first_ts"),
+        )
+    )
+
+
+def node_features(edges: DataFrame) -> DataFrame:
+    """Per-vertex in/out degree, transfer counts, amounts, balance proxy
+    (reference extract_node_features.py:49-72) via two aggregations and
+    one full-outer join — no per-vertex loop."""
+    inf = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("cnt").alias("in_transfer_count"),
+        F.sum("amount").alias("total_input_amount"),
+    )
+    outf = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("cnt").alias("out_transfer_count"),
+        F.sum("amount").alias("total_output_amount"),
+    )
+    return (
+        inf.join(outf, "node", "full_outer")
+        .na.fill(0)
+        .withColumn(
+            "balance_proxy",
+            F.col("total_input_amount") - F.col("total_output_amount"),
+        )
+    )
+
+
+def self_loop_flag(edges: DataFrame) -> DataFrame:
+    """(node, has_self_loop 0/1) — reference extract_motif_features.py:96-97."""
+    loops = edges.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("node")
+    ).distinct().withColumn("has_self_loop", F.lit(1))
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst"))
+    ).distinct()
+    return nodes.join(loops, "node", "left").na.fill({"has_self_loop": 0})
+
+
+def mutual_pair_features(edges: DataFrame) -> DataFrame:
+    """Two-node-loop motif (reference extract_motif_features.py:99-112):
+    for each node, count of mutual partners (u⇄v) and total amount/count
+    over both directions of each mutual pair. Equi-join on the reversed
+    key — fully shuffle-parallel."""
+    e = edges.filter(F.col("src") != F.col("dst"))
+    a = e.select("src", "dst", "amount", "cnt")
+    b = e.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src"),
+        F.col("amount").alias("amount_rev"), F.col("cnt").alias("cnt_rev"),
+    )
+    mutual = a.join(b, ["src", "dst"])
+    return mutual.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("two_node_loop_count"),
+        F.sum(F.col("amount") + F.col("amount_rev")).alias("two_node_loop_amount"),
+        F.sum(F.col("cnt") + F.col("cnt_rev")).alias("two_node_loop_tx"),
+    )
+
+
+def triangle_features(edges: DataFrame) -> DataFrame:
+    """Directed 3-cycle motif (reference extract_motif_features.py:48-75):
+    cycles a→b→c→a counted once via the min-vertex orientation (a < b and
+    a < c); each participant is credited the triangle and the summed
+    amount/count of its 3 edges. 3-way self-join + explode — the skew
+    hazard is hub nodes; reference handles it by whitelisting hubs, here
+    callers pre-filter and AQE splits residual skew."""
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst", "amount", "cnt")
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                  F.col("amount").alias("am1"), F.col("cnt").alias("c1"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"),
+                  F.col("amount").alias("am2"), F.col("cnt").alias("c2"))
+    e3 = e.select(F.col("src").alias("c"), F.col("dst").alias("a"),
+                  F.col("amount").alias("am3"), F.col("cnt").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["c", "a"])
+        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .select(
+            "a", "b", "c",
+            (F.col("am1") + F.col("am2") + F.col("am3")).alias("tri_amount"),
+            (F.col("c1") + F.col("c2") + F.col("c3")).alias("tri_tx"),
+        )
+    )
+    exploded = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node"), "tri_amount", "tri_tx"
+    )
+    return exploded.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangle_count"),
+        F.sum("tri_amount").alias("triangle_amount"),
+        F.sum("tri_tx").alias("triangle_tx"),
+    )
+
+
+def egonet_features(edges: DataFrame) -> DataFrame:
+    """1-hop egonet size and density (reference
+    extract_egonet_features.py:37-78): ego(v) = {v} ∪ undirected
+    neighbors; n = |ego|; m = directed non-self edges within ego;
+    density = m / (n·(n−1)). Neighbor-pair join formulation."""
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    und = e.select("src", "dst").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # every node in the graph gets an egonet — including nodes whose only
+    # edge is a self-loop (ego = {v}, n = 1, m = 0)
+    nodes = edges.select(F.col("src").alias("v")).union(
+        edges.select(F.col("dst"))
+    ).distinct()
+    ego = und.select(F.col("src").alias("v"), F.col("dst").alias("member")).union(
+        nodes.select("v", F.col("v").alias("member"))
+    )
+    n_tbl = ego.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    # m: every directed edge (a→b), a≠b, with both endpoints in ego(v)
+    ea = ego.select("v", F.col("member").alias("a"))
+    eb = ego.select("v", F.col("member").alias("b"))
+    m_tbl = (
+        e.join(eb.withColumnRenamed("b", "dst"), "dst")
+        .join(ea.withColumnRenamed("a", "src"), ["v", "src"], "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        n_tbl.join(m_tbl, "v", "left")
+        .na.fill({"m": 0})
+        .select(
+            F.col("v").alias("node"),
+            F.col("n").cast("long").alias("ego_n"),
+            F.col("m").cast("long").alias("ego_m"),
+            F.when(
+                F.col("n") > 1,
+                F.col("m") / (F.col("n") * (F.col("n") - 1)),
+            ).otherwise(F.lit(0.0)).alias("ego_density"),
+        )
+    )

@@ -586,3 +586,7 @@ ORACLES: dict = {
 }
 
 ORACLES.update(suite_curation.ORACLES)
+
+from anomaly_detector_faironchain_spark import suite_graph  # noqa: E402
+QUERIES.update(suite_graph.QUERIES)
+ORACLES.update(suite_graph.ORACLES)

@@ -1,0 +1,88 @@
+"""Semantics tests for graph feature operators on a tiny hand-checked
+graph, plus Mahalanobis vs a direct numpy computation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators import graph, mahalanobis
+
+# edges: a→b (two transfers), b→a, a→c, c→b, b→c, d→d (self loop)
+TRANSFERS = [
+    ("a", "b", 10.0, 1), ("a", "b", 5.0, 2), ("b", "a", 7.0, 3),
+    ("a", "c", 1.0, 4), ("c", "b", 2.0, 5), ("b", "c", 3.0, 6),
+    ("d", "d", 9.0, 7),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    df = spark.createDataFrame(TRANSFERS, "src string, dst string, amount double, ts long")
+    return graph.aggregate_edges(df, "src", "dst", "amount", "ts").cache()
+
+
+def test_edge_aggregation_collapses_parallel(edges):
+    ab = edges.filter("src = 'a' AND dst = 'b'").collect()[0]
+    assert ab.amount == 15.0 and ab.cnt == 2 and ab.first_ts == 1
+
+
+def test_node_features(edges):
+    nf = {r.node: r for r in graph.node_features(edges).collect()}
+    assert nf["a"].out_degree == 2 and nf["a"].in_degree == 1
+    assert nf["a"].total_output_amount == 16.0
+    assert nf["a"].balance_proxy == 7.0 - 16.0
+    assert nf["b"].in_transfer_count == 3  # 2 parallel a→b + 1 c→b
+
+
+def test_self_loop(edges):
+    flags = {r.node: r.has_self_loop for r in graph.self_loop_flag(edges).collect()}
+    assert flags["d"] == 1 and flags["a"] == 0
+
+
+def test_mutual_pairs(edges):
+    mp = {r.node: r for r in graph.mutual_pair_features(edges).collect()}
+    # mutual pairs: a⇄b and b⇄c
+    assert mp["a"].two_node_loop_count == 1
+    assert mp["b"].two_node_loop_count == 2
+    assert mp["a"].two_node_loop_amount == 15.0 + 7.0
+
+
+def test_triangles(edges):
+    # directed cycle a→b? no: cycles are a→c→b→a (a→c, c→b, b→a) ✓
+    tf = {r.node: r for r in graph.triangle_features(edges).collect()}
+    assert set(tf) == {"a", "b", "c"}
+    assert all(tf[n].triangle_count == 1 for n in "abc")
+    assert tf["a"].triangle_amount == 1.0 + 2.0 + 7.0
+
+
+def test_egonet(edges):
+    ego = {r.node: r for r in graph.egonet_features(edges).collect()}
+    # ego(a) = {a,b,c}; directed non-self edges within: a→b,b→a,a→c,c→b,b→c = 5
+    assert ego["a"].ego_n == 3 and ego["a"].ego_m == 5
+    assert ego["a"].ego_density == pytest.approx(5 / 6)
+    assert ego["d"].ego_n == 1 and ego["d"].ego_m == 0
+
+
+def test_mahalanobis_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    x = rng.normal(size=(200, 3)) * [1.0, 5.0, 0.3] + [0, 10, -2]
+    rows = [(int(i), float(a), float(b), float(c)) for i, (a, b, c) in enumerate(x)]
+    df = spark.createDataFrame(rows, "id long, f1 double, f2 double, f3 double")
+    out = {r.id: r.d for r in mahalanobis.mahalanobis(
+        df, ["f1", "f2", "f3"], "d").select("id", "d").collect()}
+    mu = x.mean(axis=0)
+    inv = np.linalg.inv(np.cov(x, rowvar=False))
+    z = x - mu
+    expect = np.sqrt(np.einsum("ij,jk,ik->i", z, inv, z))
+    for i in range(200):
+        assert out[i] == pytest.approx(expect[i], rel=1e-9)
+
+
+def test_mahalanobis_drops_zero_variance(spark):
+    rows = [(i, float(i % 7), 3.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, f1 double, f2 double")
+    out = mahalanobis.mahalanobis(df, ["f1", "f2"], "d").collect()
+    assert all(np.isfinite(r.d) for r in out)  # constant f2 excluded, no inversion blowup
