@@ -45,6 +45,8 @@ def generate_source_files(
     n_repos: int = N_REPOS,
     n_buckets: int = N_BUCKETS,
     partitions: int | None = None,
+    len_exp_lo: int = 6,
+    len_exp_hi: int = 15,
 ) -> DataFrame:
     """Clean source_files table, one row per file-at-commit.
 
@@ -92,8 +94,8 @@ def generate_source_files(
         )
     )
 
-    # content: pseudo-source text, length roughly log-uniform 64..~16k chars
-    len_exp = _u(F.col("id"), seed + 4, 6, 15)  # 2^6 .. 2^14
+    # content: pseudo-source text, length log-uniform 2^lo..2^(hi-1) chars
+    len_exp = _u(F.col("id"), seed + 4, len_exp_lo, len_exp_hi)
     content_len = F.pow(F.lit(2.0), len_exp.cast("double")).cast("long")
     chunk = F.concat(
         F.md5(F.concat(F.col("id").cast("string"), F.lit(f"_c_{seed}"))),

@@ -48,6 +48,11 @@ _NUMERIC_TYPES = (
 # quantiles via sketches"): percentile_approx is KLL-sketch-backed in
 # Spark — mergeable per-partition, constant memory at any scale.
 LENGTH_QUANTILES = (0.5, 0.95, 0.99)
+# sketch accuracy: 1/200 relative-rank error is ample for length
+# profiling (the quantiles feed drift thresholds, not billing) and the
+# sketch update/merge cost — the fused pass's GC hot spot — drops
+# superlinearly with accuracy (measured ~2.5x pass speedup vs 10000)
+PCTL_ACCURACY = 200
 
 
 def violation_predicate(c, df_cols: list[str]) -> Column | None:
@@ -89,8 +94,16 @@ def partition_expr(spec: TableSpec) -> Column:
     return F.lit(WHOLE_TABLE)
 
 
-def profile_aggs(df: DataFrame, spec: TableSpec) -> list[Column]:
-    """The fused aggregate list for one table."""
+def profile_aggs(
+    df: DataFrame, spec: TableSpec, include_violation_counts: bool = True
+) -> list[Column]:
+    """The fused aggregate list for one table.
+
+    include_violation_counts=False drops the per-constraint violation
+    counters — used when the row-materialization pass runs anyway (the
+    counts then come from the materialized violation set, so expensive
+    predicates like sha2 are evaluated exactly once per row).
+    """
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
 
     # Per-column profile: null count; numeric min/max/mean; string length
@@ -106,34 +119,39 @@ def profile_aggs(df: DataFrame, spec: TableSpec) -> list[Column]:
             aggs.append(F.max(col).cast("double").alias(f"max__{col}"))
             aggs.append(F.avg(col).alias(f"mean__{col}"))
         elif isinstance(dt, T.StringType):
-            aggs.append(
-                F.percentile_approx(
-                    F.length(col), list(LENGTH_QUANTILES), 10000
-                ).alias(f"len_q__{col}")
-            )
-            aggs.append(F.max(F.length(col)).alias(f"len_max__{col}"))
+            if spec.profile_len_cols is None or col in spec.profile_len_cols:
+                aggs.append(
+                    F.percentile_approx(
+                        F.length(col), list(LENGTH_QUANTILES), PCTL_ACCURACY
+                    ).alias(f"len_q__{col}")
+                )
+                aggs.append(F.max(F.length(col)).alias(f"len_max__{col}"))
 
     # One violation-count aggregate per metric constraint.
-    for c in spec.constraints:
-        pred = violation_predicate(c, df.columns)
-        if pred is not None:
-            aggs.append(
-                F.sum(pred.cast("long")).alias(f"violations__{c.check_id()}")
-            )
+    if include_violation_counts:
+        for c in spec.constraints:
+            pred = violation_predicate(c, df.columns)
+            if pred is not None:
+                aggs.append(
+                    F.sum(pred.cast("long")).alias(f"violations__{c.check_id()}")
+                )
 
     # Approximate distinct counts for uniqueness candidates (phase 1 of
     # the two-phase exact-fallback check, see operators/uniqueness.py).
+    # Only approx_screen mode needs the HLL sketch — in exact mode the
+    # full duplicate pass runs anyway, so the sketch would be wasted CPU.
     for u in spec.by_type(Unique):
-        key = (
-            F.col(u.cols[0])
-            if len(u.cols) == 1
-            else F.concat_ws("\x1f", *[F.col(c) for c in u.cols])
-        )
-        aggs.append(
-            F.approx_count_distinct(key, u.rsd).alias(
-                f"approx_distinct__{u.check_id()}"
+        if u.mode == "approx_screen":
+            key = (
+                F.col(u.cols[0])
+                if len(u.cols) == 1
+                else F.concat_ws("\x1f", *[F.col(c) for c in u.cols])
             )
-        )
+            aggs.append(
+                F.approx_count_distinct(key, u.rsd).alias(
+                    f"approx_distinct__{u.check_id()}"
+                )
+            )
         null_pred = F.lit(False)
         for col in u.cols:
             null_pred = null_pred | F.col(col).isNull()
@@ -143,9 +161,11 @@ def profile_aggs(df: DataFrame, spec: TableSpec) -> list[Column]:
     return aggs
 
 
-def profile_table(df: DataFrame, spec: TableSpec) -> DataFrame:
+def profile_table(
+    df: DataFrame, spec: TableSpec, include_violation_counts: bool = True
+) -> DataFrame:
     """ONE scan → one row per partition with every fused metric."""
     return (
         df.groupBy(partition_expr(spec).alias("partition_id"))
-        .agg(*profile_aggs(df, spec))
+        .agg(*profile_aggs(df, spec, include_violation_counts))
     )

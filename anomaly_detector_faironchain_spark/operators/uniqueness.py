@@ -50,6 +50,14 @@ def exact_duplicates(
     partitions (partition pruning happens at the scan when the partition
     column is a physical partition/bucket column).
 
+    Hash-compacted two-step: the wide groupBy shuffles only a 64-bit
+    xxhash of the key (map-side combined), not the key strings — at
+    10^12 rows that is ~10x fewer shuffle bytes for 100-char SIDs. Keys
+    whose HASH duplicates (true dups + rare hash collisions) are then
+    re-grouped on the REAL key over only those candidate rows, so the
+    result is exact: a 64-bit collision can only cost a few extra rows in
+    the verification join, never a wrong verdict.
+
     Returns one row per duplicated key: (partition_id, <key cols>, dup_count).
     """
     part = partition_expr(spec).alias("partition_id")
@@ -65,8 +73,17 @@ def exact_duplicates(
                 )
             )
     key_cols = [F.col(c) for c in u.cols]
+    h = F.xxhash64(*key_cols)
+    hashed = scoped.select(part, h.alias("__h__"), *key_cols)
+    hot = (
+        hashed.groupBy("partition_id", "__h__")
+        .agg(F.count(F.lit(1)).alias("__hc__"))
+        .filter(F.col("__hc__") > 1)
+        .select("partition_id", "__h__")
+    )
+    candidates = hashed.join(hot, ["partition_id", "__h__"], "left_semi")
     return (
-        scoped.groupBy(part, *key_cols)
+        candidates.groupBy("partition_id", *u.cols)
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )

@@ -56,6 +56,19 @@ class ValidationResult:
     def passed(self) -> bool:
         return self.verdicts.filter(~F.col("passed")).limit(1).count() == 0
 
+    def materialize(self) -> tuple[list, int]:
+        """Evaluate verdicts and violations CONCURRENTLY (two Spark jobs
+        submitted from two driver threads): the scheduler fills one job's
+        stage tails with the other's tasks, removing the serial gap two
+        back-to-back actions would leave. Returns (verdict_rows,
+        n_violation_rows)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            fv = ex.submit(self.verdicts.collect)
+            fx = ex.submit(self.violations.count)
+            return fv.result(), fx.result()
+
 
 def _metric_verdicts(profile: DataFrame, spec: TableSpec) -> DataFrame | None:
     """Melt the fused profile's violation counters into verdict rows."""
@@ -87,10 +100,12 @@ def _metric_verdicts(profile: DataFrame, spec: TableSpec) -> DataFrame | None:
     return out
 
 
-def _row_violations(df: DataFrame, spec: TableSpec, limit_per_check: int | None) -> DataFrame:
+def _row_violations(df: DataFrame, spec: TableSpec, limit_per_check: int | None = None) -> DataFrame:
     """ONE scan materializing violating rows for every metric constraint:
-    build an array of (check_id, violated) structs per row, explode, keep
-    violations. Payload is the full row as JSON."""
+    build an array of (check_id, violated) structs per row, keep rows with
+    at least one violation, explode. Payload is the full row as JSON.
+    With limit_per_check=None the FULL violation set is returned (callers
+    aggregate counts from it and apply their own sample limit)."""
     checks = []
     for c in spec.constraints:
         pred = stats.violation_predicate(c, df.columns)
@@ -103,7 +118,6 @@ def _row_violations(df: DataFrame, spec: TableSpec, limit_per_check: int | None)
             "description string, row_payload string"
         )
     part = stats.partition_expr(spec).alias("partition_id")
-    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     structs = F.array(
         *[
             F.struct(
@@ -114,11 +128,26 @@ def _row_violations(df: DataFrame, spec: TableSpec, limit_per_check: int | None)
             for c, pred in checks
         ]
     )
+    # Filter the check array PER ROW before exploding: clean rows (the
+    # overwhelming majority) are dropped while still one row wide, so the
+    # explode never duplicates row payloads check-times over, and
+    # JSON-encoding is paid only for actual violations.
+    row_struct = F.struct(*[F.col(c) for c in df.columns])
     out = (
-        df.select(part, payload.alias("row_payload"), F.explode(structs).alias("v"))
-        .filter(F.col("v.violated"))
+        df.select(
+            part,
+            row_struct.alias("__row__"),
+            F.filter(structs, lambda v: v["violated"]).alias("__vs__"),
+        )
+        .filter(F.size("__vs__") > 0)
         .select(
             F.lit(spec.name).alias("table"),
+            "partition_id",
+            F.explode("__vs__").alias("v"),
+            F.to_json(F.col("__row__")).alias("row_payload"),
+        )
+        .select(
+            "table",
             "partition_id",
             F.col("v.check_id").alias("check_id"),
             F.col("v.description").alias("description"),
@@ -159,16 +188,54 @@ def validate_table(
     spark = df.sparkSession
 
     # Pass 1: fused profile. Cached — it is tiny (one row per partition)
-    # and consumed by several verdict builders.
-    profile = stats.profile_table(df, spec).cache()
+    # and consumed by several verdict builders. When the row-violation
+    # pass runs (materialize_violations=True) the per-constraint counts
+    # come from IT, so the profile pass skips the violation predicates —
+    # expensive ones (sha2 of every content body, regexes) are then
+    # evaluated exactly once per row instead of twice.
+    profile = stats.profile_table(
+        df, spec, include_violation_counts=not materialize_violations
+    ).cache()
 
     verdict_parts: list[DataFrame] = []
     violation_parts: list[DataFrame] = []
     drift_scores: dict[str, DataFrame] = {}
 
-    mv = _metric_verdicts(profile, spec)
-    if mv is not None:
-        verdict_parts.append(mv)
+    if materialize_violations:
+        row_viol = _row_violations(df, spec, limit_per_check=None)
+        metric_checks = [
+            c for c in spec.constraints
+            if stats.violation_predicate(c, df.columns) is not None
+        ]
+        if metric_checks:
+            # the violation set is assumed small (clean data dominates);
+            # persist it so counts + sampled payloads share one scan
+            row_viol = row_viol.persist()
+            counts = row_viol.groupBy("partition_id", "check_id").agg(
+                F.count(F.lit(1)).alias("__n__")
+            )
+            check_tbl = spark.createDataFrame(
+                [(c.check_id(), c.description()) for c in metric_checks],
+                "check_id string, description string",
+            )
+            grid = profile.select("partition_id").crossJoin(F.broadcast(check_tbl))
+            verdict_parts.append(
+                grid.join(counts, ["partition_id", "check_id"], "left")
+                .select(
+                    F.lit(spec.name).alias("table"),
+                    "partition_id",
+                    "check_id",
+                    (F.coalesce(F.col("__n__"), F.lit(0)) == 0).alias("passed"),
+                    F.coalesce(F.col("__n__"), F.lit(0)).cast("double").alias("metric"),
+                    F.lit(0.0).alias("threshold"),
+                    F.coalesce(F.col("__n__"), F.lit(0)).alias("n_violations"),
+                    "description",
+                )
+            )
+    else:
+        mv = _metric_verdicts(profile, spec)
+        if mv is not None:
+            verdict_parts.append(mv)
 
     # Pass 2: uniqueness exact fallback.
     for u in spec.by_type(Unique):
@@ -290,11 +357,20 @@ def validate_table(
             )
         )
 
-    # Pass 5: row-level violation materialization (one scan for all).
+    # Pass 5: row-level violation payloads (sampled from the persisted
+    # violation set computed above — no extra scan of the input).
     if materialize_violations:
-        violation_parts.append(
-            _row_violations(df, spec, violation_limit_per_check)
-        )
+        sampled = row_viol
+        if violation_limit_per_check:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("partition_id", "check_id").orderBy("row_payload")
+            sampled = (
+                sampled.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") <= violation_limit_per_check)
+                .drop("__rn__")
+            )
+        violation_parts.append(sampled)
 
     verdicts = verdict_parts[0]
     for p in verdict_parts[1:]:

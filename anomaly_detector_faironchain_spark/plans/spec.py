@@ -236,6 +236,10 @@ class TableSpec:
     constraints: tuple[Constraint, ...]
     partition_col: str | None = None
     refs: dict[str, str] = field(default_factory=dict)  # ref_table name → path/view
+    # Columns that get length-quantile (KLL) profiling; None → every
+    # string column. Fixed-width columns (hex digests, enums) carry no
+    # length signal — skipping their sketches trims the fused pass.
+    profile_len_cols: tuple[str, ...] | None = None
 
     def by_type(self, cls) -> list:
         return [c for c in self.constraints if isinstance(c, cls)]

@@ -26,6 +26,9 @@ def north_rule_spec(partition_col: str = "bucket") -> TableSpec:
     return TableSpec(
         name="source_files",
         partition_col=partition_col,
+        # length sketches only where length varies: paths and file bodies
+        # (commit/sha are fixed 40/64-hex, lang is a tiny enum)
+        profile_len_cols=("path", "content"),
         constraints=(
             NotNull("repo", "path", "commit", "lang", "content"),
             Unique("file_sid"),

@@ -1,0 +1,110 @@
+"""Two-parallelism scaling experiment (BASELINE.json north rule).
+
+No real multi-node cluster exists in this sandbox, so the N→4N-executor
+criterion is evidenced by running the IDENTICAL validation job at
+local[8] and local[32] on the SAME parquet input and reporting throughput
+at both plus efficiency = (T_8 / T_32) / 4.
+
+Each parallelism level runs in its own subprocess (fresh JVM) so thread
+pools, shuffle partitions, and memory are sized for that level alone.
+Usage: python tools/scaling_bench.py [rows]   (default 1,000,000)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+# "heavy": log-uniform 64..16k-char bodies — bandwidth-heavy, matches the
+# north-rule corpus shape. "cpu": 16..256-char bodies — per-row compute
+# dominates, isolating CPU scaling from the single-box memory-bandwidth
+# ceiling a real multi-node cluster would not share.
+PROFILE = sys.argv[2] if len(sys.argv) > 2 else "heavy"
+LEN_EXP = {"heavy": (6, 15), "cpu": (4, 9)}[PROFILE]
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, ".")
+from anomaly_detector_faironchain_spark.session import get_spark
+from anomaly_detector_faironchain_spark.datagen import source_files as gen
+from anomaly_detector_faironchain_spark.plans.compiler import validate_table
+from anomaly_detector_faironchain_spark.specs import north_rule_spec
+
+cores, rows, lo, hi = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+# 32MB scan splits: ≥4 tasks per core per wave at every level, so the
+# log-uniform content-length skew can't leave cores idle at stage tails.
+# Heap scales with cores (≈1.5g/core + base) — emulating that a 4N-
+# executor cluster has 4x the total memory of an N-executor one.
+spark = get_spark(f"scaling-{cores}", cores=cores,
+                  extra_conf={"spark.sql.files.maxPartitionBytes": "33554432",
+                              "spark.driver.memory": f"{6 + cores + cores // 2}g"})
+tag = f"/tmp/bench_source_files/r{rows}_l{lo}_{hi}"
+try:
+    df = spark.read.parquet(f"{tag}/input")
+    repos = spark.read.parquet(f"{tag}/repos")
+    assert df.count() == rows
+except Exception:
+    import shutil
+    shutil.rmtree(tag, ignore_errors=True)
+    files = gen.generate_source_files(spark, rows, seed=42, len_exp_lo=lo, len_exp_hi=hi)
+    man = gen.manifest(files)
+    repos_df, _ = gen.companion_dims(files)
+    # 128 output files → every parallelism level gets ≥4 tasks/core per
+    # scan wave, smoothing the log-uniform content-length skew
+    files.join(man, "file_sid").repartition(128).write.parquet(f"{tag}/input")
+    repos_df.write.parquet(f"{tag}/repos")
+    df = spark.read.parquet(f"{tag}/input")
+    repos = spark.read.parquet(f"{tag}/repos")
+
+def run():
+    t0 = time.time()
+    res = validate_table(df, north_rule_spec(), refs={"repos": repos},
+                         materialize_violations=True)
+    res.materialize()
+    return time.time() - t0
+
+run()  # warm-up
+best = min(run(), run())
+print(json.dumps({"cores": cores, "rows": rows, "sec": round(best, 3),
+                  "files_per_sec": round(rows / best, 1)}))
+"""
+
+
+def run_level(cores: int) -> dict:
+    # taskset pins the whole JVM (executor threads AND GC/IO/codegen
+    # threads) to `cores` physical CPUs — an unpinned local[8] on a
+    # 32-core box silently borrows extra cores for GC and shuffle IO,
+    # which a real 8-core executor node would not have.
+    cmd = ["taskset", "-c", f"0-{cores - 1}",
+           sys.executable, "-c", WORKER, str(cores), str(ROWS),
+           str(LEN_EXP[0]), str(LEN_EXP[1])]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    # interleave levels (8,32,8,32) and keep each level's best: the
+    # sandbox VM shows time-correlated throughput swings (host CPU
+    # steal/frequency), which alternation cancels
+    runs8, runs32 = [], []
+    for _ in range(1):
+        runs8.append(run_level(8))
+        runs32.append(run_level(32))
+    r8 = min(runs8, key=lambda r: r["sec"])
+    r32 = min(runs32, key=lambda r: r["sec"])
+    eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
+    print(json.dumps({
+        "profile": PROFILE, "local8": r8, "local32": r32,
+        "all_runs": {"local8": runs8, "local32": runs32},
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
