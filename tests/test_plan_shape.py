@@ -1,0 +1,122 @@
+"""Physical-plan audits: the properties that make the engine viable at
+100 TB are asserted on `explain` output so a regression (lost pushdown, a
+broadcast that became a sort-merge join, a surprise cartesian product)
+fails CI, not a production run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators import referential, stats
+from anomaly_detector_faironchain_spark.plans.spec import (
+    InRange,
+    NotNull,
+    TableSpec,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushed_to_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    p = plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in p
+    # column pruning: scan schema carries only the two referenced columns
+    scan = p[p.index("ReadSchema"):].splitlines()[0]
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_extendedprice" not in scan and "l_discount" not in scan
+
+
+def test_profile_pass_is_single_partial_final_aggregate(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    spec = TableSpec(
+        name="li", partition_col="l_returnflag",
+        constraints=(NotNull("l_quantity"), InRange("l_discount", 0, 0.1)),
+    )
+    p = plan(stats.profile_table(li, spec))
+    # partial + final hash aggregate around ONE exchange — the one-scan
+    # contract: adding constraints must not add scans
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_fk_check_uses_broadcast_anti_join(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    viol = referential.anti_join_violations(
+        orders, ["o_custkey"], cust, ["c_custkey"], broadcast=True
+    )
+    p = plan(viol)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_salted_fk_is_shuffle_join_without_cartesian(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    viol = referential.anti_join_violations(
+        orders, ["o_custkey"], cust, ["c_custkey"], broadcast=False, salt=8
+    )
+    p = plan(viol)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_row_predicates_stay_in_wholestage_codegen(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select(
+        F.sha2(F.concat_ws("|", "l_orderkey", "l_linenumber"), 256).alias("h"),
+        (F.col("l_quantity") > 0).alias("ok"),
+    ).filter("NOT ok")
+    p = plan(q)
+    # formatted mode marks codegen'd operators with "[codegen id : N]";
+    # the filter/project around sha2 must carry it
+    assert "[codegen id :" in p
+    # the NOT(qty>0) predicate is even pushed into the parquet scan
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThanOrEqual(l_quantity,0.0)]" in p
+    # no Python evaluation anywhere in the row path
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_no_collect_based_operators_in_verdict_path(spark):
+    # validate_table's verdict DataFrame must be computable without any
+    # driver-side row loop: building it triggers zero jobs (lazy), and
+    # its plan contains no LocalTableScan of collected input rows beyond
+    # literal check tables
+    from anomaly_detector_faironchain_spark.plans.compiler import validate_table
+    from anomaly_detector_faironchain_spark.suite import lineitem_spec
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    res = validate_table(li, lineitem_spec(), refs={"part": part},
+                         materialize_violations=False)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "building the plan must not run jobs"
+    assert res.verdicts.count() > 0
+
+
+@pytest.mark.parametrize("n_constraints", [2, 6])
+def test_scan_count_constant_in_constraint_count(spark, n_constraints):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    cons = [NotNull("l_quantity"), InRange("l_discount", 0, 0.1),
+            InRange("l_quantity", 0, 100), NotNull("l_extendedprice"),
+            InRange("l_tax", 0, 0.2), NotNull("l_orderkey")][:n_constraints]
+    spec = TableSpec(name="li", partition_col="l_returnflag",
+                     constraints=tuple(cons))
+    import re
+
+    p = plan(stats.profile_table(li, spec))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
