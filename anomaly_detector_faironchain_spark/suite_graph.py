@@ -400,3 +400,71 @@ ORACLES = {
     "mahalanobis": ORACLE_MAHALANOBIS,
     "final_scores": ORACLE_FINAL_SCORES,
 }
+
+
+# -- F4/F8: hex→Wei decode (Arrow UDF + pure-SQL long path) and Wei→ETH ----
+
+def q_wei_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detector_faironchain_spark.etl import amounts
+
+    o = _orders(spark, sf_dir)
+    hexed = o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.concat(
+            F.lit("0x"),
+            F.lower(F.lpad(F.hex(F.col("o_orderkey") * 1000000007 + 12345), 15, "0")),
+        ).alias("wei_hex"),
+    )
+    return hexed.select(
+        "o_orderkey",
+        "wei_hex",
+        amounts.hex_to_digits(F.col("wei_hex")).alias("wei_digits"),
+        amounts.hex_to_long(F.col("wei_hex")).alias("wei_long"),
+    )
+
+
+def _wei_decode_oracle() -> str:
+    nib = lambda i: (  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(h, {i + 3}, 1)) - 1)"
+    )
+    val = " + ".join(f"{nib(i)} * {16 ** (14 - i)}" for i in range(15))
+    return f"""
+WITH x AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         '0x' || lower(lpad(to_hex(o_orderkey * 1000000007 + 12345), 15, '0')) AS h
+  FROM orders
+)
+SELECT o_orderkey, h AS wei_hex,
+       CAST(({val}) AS VARCHAR) AS wei_digits,
+       CAST(({val}) AS BIGINT) AS wei_long
+FROM x
+"""
+
+
+def q_wei_to_eth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detector_faironchain_spark.etl import amounts
+
+    o = _orders(spark, sf_dir)
+    wei = (F.col("o_totalprice") * 1e10).cast("long")
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        wei.alias("wei"),
+        amounts.wei_to_eth(wei).alias("eth"),
+    )
+
+
+ORACLE_WEI_TO_ETH = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(trunc(o_totalprice * 1e10) AS BIGINT) AS wei,
+       printf('%.6f', CAST(trunc(o_totalprice * 1e10) AS BIGINT) / 1e18) AS eth
+FROM orders
+"""
+
+QUERIES.update({
+    "wei_decode": q_wei_decode,
+    "wei_to_eth": q_wei_to_eth,
+})
+ORACLES.update({
+    "wei_decode": _wei_decode_oracle(),
+    "wei_to_eth": ORACLE_WEI_TO_ETH,
+})
