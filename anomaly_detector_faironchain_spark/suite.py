@@ -590,3 +590,77 @@ ORACLES.update(suite_curation.ORACLES)
 from anomaly_detector_faironchain_spark import suite_graph  # noqa: E402
 QUERIES.update(suite_graph.QUERIES)
 ORACLES.update(suite_graph.ORACLES)
+
+
+# -- Drift per group (the validate_table by-partition drift path) -----------
+
+def q_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cur = drift_ops.numeric_histogram(ev, "value", 16, 0.0, 500.0,
+                                      group_col="event_type")
+    ref = drift_ops.numeric_histogram(
+        ev.filter(F.col("event_type") == "view"), "value", 16, 0.0, 500.0
+    )
+    groups = cur.select("group_id").distinct()
+    ref_g = groups.crossJoin(F.broadcast(ref))
+    out = drift_ops.psi(cur, ref_g, by_group=True)
+    return out.select(
+        "group_id", F.round("psi", 6).cast("double").alias("psi")
+    )
+
+
+ORACLE_DRIFT_BY_GROUP = """
+WITH cur AS (
+  SELECT event_type AS group_id,
+         LEAST(GREATEST(CAST(FLOOR(value / (500.0 / 16)) AS INT), 0), 15) AS bucket,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), ref AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(value / (500.0 / 16)) AS INT), 0), 15) AS bucket,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL AND event_type = 'view' GROUP BY 1
+), cp AS (
+  SELECT group_id, bucket, cnt * 1.0 / SUM(cnt) OVER (PARTITION BY group_id) AS p
+  FROM cur
+), rp0 AS (SELECT bucket, cnt * 1.0 / SUM(cnt) OVER () AS q FROM ref),
+groups AS (SELECT DISTINCT group_id FROM cur),
+rp AS (SELECT g.group_id, r.bucket, r.q FROM groups g, rp0 r),
+j AS (
+  SELECT COALESCE(cp.group_id, rp.group_id) AS group_id,
+         COALESCE(cp.p, 0.0) + 1e-6 AS p, COALESCE(rp.q, 0.0) + 1e-6 AS q
+  FROM cp FULL OUTER JOIN rp ON cp.group_id = rp.group_id AND cp.bucket = rp.bucket
+)
+SELECT group_id, CAST(ROUND(SUM((p - q) * LN(p / q)), 6) AS DOUBLE) AS psi
+FROM j GROUP BY 1
+"""
+
+
+# -- K6: detector agreement (Spearman rho over average ranks) ---------------
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detector_faironchain_spark.operators import agreement
+
+    sup = _t(spark, sf_dir, "supplier")
+    rho = agreement.spearman(sup, "s_acctbal", "s_suppkey")
+    return spark.createDataFrame([(round(rho, 6),)], "spearman_rho double")
+
+
+ORACLE_SPEARMAN = """
+WITH r AS (
+  SELECT (RANK() OVER (ORDER BY s_acctbal)
+          + (COUNT(*) OVER (PARTITION BY s_acctbal) - 1) / 2.0) AS ra,
+         (RANK() OVER (ORDER BY s_suppkey)
+          + (COUNT(*) OVER (PARTITION BY s_suppkey) - 1) / 2.0) AS rb
+  FROM supplier
+)
+SELECT CAST(ROUND(corr(ra, rb), 6) AS DOUBLE) AS spearman_rho FROM r
+"""
+
+QUERIES.update({
+    "drift_by_group": q_drift_by_group,
+    "spearman": q_spearman,
+})
+ORACLES.update({
+    "drift_by_group": ORACLE_DRIFT_BY_GROUP,
+    "spearman": ORACLE_SPEARMAN,
+})
