@@ -11,11 +11,15 @@ All real logic lives in anomaly_detector_faironchain_spark.suite.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from anomaly_detector_faironchain_spark import suite
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from anomaly_detector_faironchain_spark import suite  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

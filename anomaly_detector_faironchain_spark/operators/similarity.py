@@ -17,8 +17,11 @@ shuffled by vector payload.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DIM = 64
 
@@ -175,3 +178,107 @@ def embedding_neardup_pairs(
         ).cast("double").alias("cos"),
     )
     return scored.filter(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: learned k-means centroids + nprobe search.
+# The scale path beyond hyperplane LSH: cluster the corpus once (cheap
+# Lloyd iterations, centroids live on the driver — k×dim floats), store
+# each vector under its nearest centroid, search only the nprobe nearest
+# cells. Assignment is a vectorized pandas UDF (one matmul per Arrow
+# batch); centroid updates are per-dimension aggregations.
+# ---------------------------------------------------------------------------
+
+def _assign_udf(centroids):
+    """Returns a pandas UDF mapping an embedding array column to the
+    nearest centroid id (squared-L2, one matmul per batch)."""
+    c = np.asarray(centroids, dtype=np.float64)          # (k, d)
+    c_norms = (c * c).sum(axis=1)                         # (k,)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy())                    # (n, d)
+        # argmin_k |x|² - 2x·c + |c|² — |x|² constant per row, dropped
+        scores = -2.0 * (x @ c.T) + c_norms
+        return pd.Series(scores.argmin(axis=1).astype("int32"))
+
+    return assign
+
+
+def kmeans_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    k: int = 16, iters: int = 5, dim: int = DIM,
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations: init = the k lowest ids (seed-free
+    and reproducible), update via per-dimension avg aggregation."""
+    init_rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id").limit(k).collect()
+    )
+    centroids = [list(map(float, r.v)) for r in init_rows]
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        assign = _assign_udf(centroids)
+        assigned = base.withColumn("c", assign(F.col("v")))
+        sums = (
+            assigned.select("c", F.posexplode("v").alias("d", "x"))
+            .groupBy("c", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc = np.zeros((k, dim)); cnt = np.zeros(k)
+        for r in sums:
+            acc[r.c, r.d] = r.s
+            cnt[r.c] = r.n  # same count for every dim of a cluster
+        new = []
+        for j in range(k):
+            new.append(
+                list(acc[j] / cnt[j]) if cnt[j] > 0 else centroids[j]
+            )
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    query_ids: list[int], centroids: list[list[float]],
+    k: int = 5, nprobe: int = 4,
+) -> DataFrame:
+    """ANN search: probe the nprobe nearest cells per query, exact cosine
+    re-rank inside them. Returns (qid, nid, cos)."""
+    assign = _assign_udf(centroids)
+    base = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")
+    ).withColumn("cell", assign(F.col("vec")))
+
+    qrows = base.filter(F.col("nid").isin(query_ids)).collect()
+    c = np.asarray(centroids, dtype=np.float64)
+    probe_rows = []
+    for r in qrows:
+        x = np.asarray(r.vec, dtype=np.float64)
+        d2 = ((c - x) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:nprobe]:
+            probe_rows.append((int(r.nid), int(cell)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "qid long, cell int")
+
+    q = base.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), F.col("vec").alias("qvec")
+    )
+    cand = (
+        base.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("nid") != F.col("qid"))
+    )
+    scored = cand.select(
+        "qid", "nid",
+        F.round(
+            _dot(F.col("vec"), F.col("qvec"))
+            / (_norm(F.col("vec")) * _norm(F.col("qvec"))),
+            6,
+        ).cast("double").alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    ).drop("rk")
