@@ -664,3 +664,97 @@ ORACLES.update({
     "drift_by_group": ORACLE_DRIFT_BY_GROUP,
     "spearman": ORACLE_SPEARMAN,
 })
+
+
+# -- S8/J5: whitelist side-input broadcast join (is_infra flag pattern) -----
+
+def q_whitelist_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference pattern graph/run_feature_extraction.py:66-68: flag rows
+    whose key appears in a small side-input list via broadcast join, then
+    null-out a metric for flagged rows (the infra null-out at
+    extract_node_features.py:36-47)."""
+    cust = _t(spark, sf_dir, "customer")
+    wl = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey")
+    ).filter(F.col("c_nationkey") < 5)
+    flagged = cust.join(
+        F.broadcast(wl.withColumn("is_infra", F.lit(1))), "c_nationkey", "left"
+    ).withColumn("is_infra", F.coalesce(F.col("is_infra"), F.lit(0)))
+    return flagged.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("is_infra").cast("int").alias("is_infra"),
+        F.when(F.col("is_infra") == 0, F.round(F.col("c_acctbal"), 4))
+        .otherwise(F.lit(None)).cast("double").alias("acctbal_masked"),
+    )
+
+
+ORACLE_WHITELIST_FLAG = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(CASE WHEN c_nationkey < 5 THEN 1 ELSE 0 END AS INT) AS is_infra,
+       CAST(CASE WHEN c_nationkey < 5 THEN NULL ELSE ROUND(c_acctbal, 4) END AS DOUBLE) AS acctbal_masked
+FROM customer
+"""
+
+
+# -- W: sessionization as gaps-and-islands (lag window + cumulative sum) ----
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    user's previous event exceeds 30 minutes. Pure window functions —
+    the batch analogue of streaming.windows.sessionize."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = ts_s - F.lag(ts_s).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_no").cast("long").alias("session_no"),
+        "n_events", "session_start", "session_end",
+    )
+
+
+ORACLE_SESSIONIZATION = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM g
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_no AS BIGINT) AS session_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+QUERIES.update({
+    "whitelist_flag": q_whitelist_flag,
+    "sessionization": q_sessionization,
+})
+ORACLES.update({
+    "whitelist_flag": ORACLE_WHITELIST_FLAG,
+    "sessionization": ORACLE_SESSIONIZATION,
+})
