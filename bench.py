@@ -38,7 +38,9 @@ HEADLINE = [
     "pricing_summary",
 ]
 
-SOURCE_FILES_ROWS = int(os.environ.get("BENCH_SOURCE_ROWS", "300000"))
+# 2M rows ≈ 7.5 GB decompressed: large enough that per-job overhead is
+# amortized and the headline number reflects steady-state throughput
+SOURCE_FILES_ROWS = int(os.environ.get("BENCH_SOURCE_ROWS", "2000000"))
 
 
 def bench_source_files(spark, work_dir: str = "/tmp/bench_source_files") -> tuple[float, int]:
@@ -82,8 +84,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench", cores=cpus)
 
-    # warm the JVM/session so per-query timings measure the plan, not init
+    # warm the JVM/session so per-query timings measure the plan, not
+    # init: one parquet-scan query primes codegen, Arrow, and page cache
     spark.range(1000).count()
+    suite.QUERIES["pricing_summary"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
