@@ -25,22 +25,38 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="adfs")
     sub = p.add_subparsers(dest="cmd", required=True)
     v = sub.add_parser("validate", help="run the constraint suite")
-    v.add_argument("--input", required=True, help="parquet path of source_files")
+    v.add_argument("--input", required=True, help="path of source_files table")
     v.add_argument("--out", required=True, help="output/checkpoint dir")
     v.add_argument("--ref", action="append", default=[],
                    metavar="NAME=PATH", help="referenced dim tables")
     v.add_argument("--partition-col", default="bucket")
+    v.add_argument("--format", default="parquet", choices=["parquet", "csv"],
+                   help="input format (csv reads with header + inferSchema)")
+    v.add_argument("--violation-limit", type=int, default=1000,
+                   help="max materialized violation rows per (partition, check)")
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("adfs-validate").getOrCreate()
-    df = spark.read.parquet(args.input)
+
+    def load(path: str, fmt: str):
+        # refs may override the table format with a "csv:" / "parquet:" prefix
+        if ":" in path.split("/")[0]:
+            fmt, path = path.split(":", 1)
+        if fmt == "csv":
+            return spark.read.option("header", True).option(
+                "inferSchema", True
+            ).csv(path)
+        return spark.read.parquet(path)
+
+    df = load(args.input, args.format)
     refs = {}
     for spec_str in args.ref:
         name, path = spec_str.split("=", 1)
-        refs[name] = spark.read.parquet(path)
+        refs[name] = load(path, args.format)
     spec = north_rule_spec(partition_col=args.partition_col)
     result = run_with_checkpoint(df, spec, args.out, refs=refs,
-                                 input_path=args.input)
+                                 input_path=args.input,
+                                 violation_limit_per_check=args.violation_limit)
     if result is None:
         print(json.dumps({"status": "already_complete", "out": args.out}))
         return 0
