@@ -61,7 +61,13 @@ def mahalanobis(
     filled = df.na.fill({c: 0.0 for c in cols})
     mu, cov = mean_and_cov(filled, cols)
     use_cols, mu2, cov2 = drop_zero_variance(cols, mu, cov)
-    inv = np.linalg.inv(cov2)
+    # Pseudo-inverse, not inverse: the reference's own 9-feature set is
+    # rank-deficient BY CONSTRUCTION (log_degree_ratio is exactly
+    # in_degree_log − out_degree_log, same for the amount ratio), so its
+    # scipy.linalg.inv output is numerical noise on a singular matrix.
+    # pinv computes the well-defined Mahalanobis distance in the feature
+    # subspace and equals inv() whenever the matrix is well-conditioned.
+    inv = np.linalg.pinv(cov2, hermitian=True)
     spark = df.sparkSession
     b_mu = spark.sparkContext.broadcast(mu2)
     b_inv = spark.sparkContext.broadcast(inv)
