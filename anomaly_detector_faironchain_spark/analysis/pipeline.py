@@ -194,18 +194,14 @@ def score(df: DataFrame, score_cols: list[str]) -> DataFrame:
     df = df.withColumn(
         "final_score_0_100", (mean_expr / len(components)).cast("float")
     )
-    n = df.count()
-    from pyspark.sql import Window
-
-    w_rank = Window.orderBy(F.col("final_score_0_100").desc())
-    w_ties = Window.partitionBy("final_score_0_100")
-    avg_rank = F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0
-    df = df.withColumn(
-        "final_score_top_percent",
-        F.round(avg_rank / F.lit(float(n)) * 100.0, 2).cast("float"),
-    ).withColumn(
-        "final_score_top_percent_display",
-        F.format_string("%.2f%%", F.col("final_score_top_percent")),
+    df = scoring.top_percent_rank(df, "final_score_0_100", "__tp__")
+    df = (
+        df.withColumn("final_score_top_percent", F.col("__tp__").cast("float"))
+        .withColumn(
+            "final_score_top_percent_display",
+            F.format_string("%.2f%%", F.col("final_score_top_percent")),
+        )
+        .drop("__tp__")
     )
     return df
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 from pyspark.sql import SparkSession
@@ -39,9 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("adfs-validate").getOrCreate()
 
     def load(path: str, fmt: str):
-        # refs may override the table format with a "csv:" / "parquet:" prefix
-        if ":" in path.split("/")[0]:
-            fmt, path = path.split(":", 1)
+        # refs may override the table format with a "csv:" / "parquet:" prefix;
+        # only known formats are stripped — URI schemes (s3://, hdfs://,
+        # file:/, abfss://) pass through as part of the path
+        m = re.match(r"^(csv|parquet):(.*)$", path)
+        if m:
+            fmt, path = m.group(1), m.group(2)
         if fmt == "csv":
             return spark.read.option("header", True).option(
                 "inferSchema", True

