@@ -120,3 +120,34 @@ def test_image_decode_stub_fails_loudly_and_fake_is_deterministic(spark, docs):
     b = multimodal.decode_image_features(payloads, fake=True).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(r.width > 0 and r.height > 0 for r in a)
+
+
+def test_jaccard_hot_shingle_fanout_stays_linear_in_candidates(spark):
+    # VERDICT r1 #3: one boilerplate shingle shared by EVERY doc must not
+    # produce a doc×doc intermediate. 100 docs share "common common common";
+    # only 3 candidate pairs are asked for.
+    n = 100
+    rows = [
+        (i, f"common common common unique{i}a unique{i}b unique{i}c")
+        for i in range(n)
+    ]
+    # make pair (0,1) true near-dups
+    rows[1] = (1, "common common common unique0a unique0b uniqueX")
+    df = spark.createDataFrame(rows, "id_a long, text string").select(
+        F.col("id_a").alias("doc_id"), "text"
+    )
+    sh = dedup.shingles(df, "doc_id", "text", n=3)
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = dedup.jaccard_for_pairs(sh, pairs)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    # every doc has 4 shingles; all pairs share the 1 hot shingle
+    assert abs(got[(2, 3)] - 1 / 7) < 1e-12
+    assert got[(0, 1)] > got[(2, 3)]
+    # the implementation's intermediate is pairs ⋈ a-side shingles:
+    # Σ|shingles(a)| over 3 pairs = 12 rows. The old inverted-index
+    # self-join would have materialized ≥ C(100,2) = 4950 rows from the
+    # hot shingle alone before any candidate restriction.
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    assert pairs.join(sa, "id_a").count() == 12
