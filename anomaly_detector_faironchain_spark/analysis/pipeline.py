@@ -7,11 +7,14 @@ Parity map (reference file → here):
   analysis/detectors/rule_based_*.py:30-259   → heuristic_rules()
   analysis/detectors/statistical_*.py:18-57   → preprocess_features()
   analysis/detectors/statistical_*.py:60-103  → operators/mahalanobis.py
-  analysis/detectors/unsupervised_*.py        → optional iforest slot
-                                                (sklearn absent here →
-                                                import-gated; drift scoring
-                                                is the engine's default
-                                                replacement, SURVEY §2 K4)
+  analysis/detectors/unsupervised_*.py        → operators/iforest.py
+                                                (numpy iTree ensemble fit
+                                                on a bounded driver sample,
+                                                broadcast, Arrow-batched
+                                                UDF scoring; drift scoring
+                                                remains the engine's
+                                                streaming-friendly
+                                                alternative, SURVEY §2 K4)
   analysis/scoring/scoring.py                 → score() (Hazen percentiles,
                                                 rule score, final mean,
                                                 top-percent display)
@@ -24,10 +27,27 @@ with null scores and is_infra=1.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from anomaly_detector_faironchain_spark.operators import graph, mahalanobis, scoring
+from anomaly_detector_faironchain_spark.operators import (
+    graph,
+    iforest,
+    mahalanobis,
+    scoring,
+)
+
+log = logging.getLogger(__name__)
+
+# the reference's burn-address blacklist, applied before graph build
+# (graph/construction/filter_edgelist.py:4-8)
+ADDRESS_BLACKLIST = (
+    "1_0x0000000000000000000000000000000000000000",
+    "1_0x000000000000000000000000000000000000dead",
+    "1_0xeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee",
+)
 
 RULE_DESCRIPTIONS = {
     "H1": "H1: Aggregates from many sources and forwards almost unchanged to few addresses. May indicate ransomware or scam fund routing.",
@@ -58,24 +78,84 @@ Z_FEATURES = [f"{c}_log" for c in LOG_FEATURES] + [
 ]
 
 
-def extract_account_features(tt: DataFrame) -> DataFrame:
-    """Per-account graph features from AbstractTokenTransfer — the whole
-    of the reference's graph stage (EP2 steps 1-2) as joins/aggregations.
+def attach_block_timestamps(
+    tt: DataFrame, tx: DataFrame, blocks: DataFrame,
+    count_orphans: bool = True,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Edge timestamp lineage (reference load_clean_edgelist.py:41-54):
+    transfer ⋈ tx → block_sid, ⋈ block → timestamp, both left joins, with
+    the reference's orphan safety counts (transfers missing a tx, and
+    transfers missing a block timestamp) computed in ONE aggregation pass
+    and logged as warnings when non-zero."""
+    joined = (
+        tt.join(tx.select("tx_sid", "block_sid"), "tx_sid", "left")
+        .join(blocks.select("block_sid", "timestamp"), "block_sid", "left")
+    )
+    orphans = {"missing_tx": 0, "missing_ts": 0}
+    if count_orphans:
+        row = joined.agg(
+            F.sum(F.col("block_sid").isNull().cast("long")).alias("mt"),
+            F.sum(F.col("timestamp").isNull().cast("long")).alias("ms"),
+        ).collect()[0]
+        orphans = {
+            "missing_tx": int(row.mt or 0),
+            "missing_ts": int(row.ms or 0),
+        }
+        if orphans["missing_tx"]:
+            log.warning("%d transfers have no matching tx_sid",
+                        orphans["missing_tx"])
+        if orphans["missing_ts"]:
+            log.warning("%d transfers have no block timestamp",
+                        orphans["missing_ts"])
+    return joined, orphans
+
+
+def build_edges(
+    tt: DataFrame,
+    ts_col: str | None = None,
+    min_amount: float = 0.0,
+    blacklist: list[str] | None = None,
+) -> DataFrame:
+    """Filtered, aggregated edgelist. Mirrors the reference's pre-graph
+    pruning — `amount >= min_amount` (run_graph_builder.py:23 passes
+    1e12 Wei) and the burn-address blacklist on BOTH endpoints
+    (filter_edgelist.py:26-35; pass blacklist=[] to disable) — then
+    collapses parallel transfers (build_token_transfer_graph.py:26-31).
 
     Amounts go through double (the reference's features CSV does the same
-    — SURVEY §1.2 notes the accepted precision loss downstream).
-    """
-    edges = graph.aggregate_edges(
-        tt.select(
-            F.col("spender_address_sid").alias("src"),
-            F.col("receiver_address_sid").alias("dst"),
-            F.col("amount_dec38").cast("double").alias("amount"),
-            F.lit(0).alias("ts"),
-        ),
-        "src", "dst", "amount", "ts",
-    ).cache()  # reused by 4 feature extractors, like the reference's
-    #            precomputed adjacency (extract_egonet_features.py:37-42)
+    — SURVEY §1.2 notes the accepted precision loss downstream)."""
+    bl = list(ADDRESS_BLACKLIST if blacklist is None else blacklist)
+    t = tt.select(
+        F.col("spender_address_sid").alias("src"),
+        F.col("receiver_address_sid").alias("dst"),
+        F.col("amount_dec38").cast("double").alias("amount"),
+        (F.col(ts_col) if ts_col else F.lit(0)).alias("ts"),
+    )
+    if min_amount:
+        t = t.filter(F.col("amount") >= min_amount)
+    if bl:
+        t = t.filter(~F.col("src").isin(bl) & ~F.col("dst").isin(bl))
+    return graph.aggregate_edges(t, "src", "dst", "amount", "ts")
 
+
+def extract_account_features(
+    tt: DataFrame,
+    ts_col: str | None = None,
+    min_amount: float = 0.0,
+    blacklist: list[str] | None = None,
+) -> DataFrame:
+    """Per-account graph features from AbstractTokenTransfer — the whole
+    of the reference's graph stage (EP2 steps 1-2) as joins/aggregations.
+    Caches the edgelist (reused by 4 feature extractors, like the
+    reference's precomputed adjacency, extract_egonet_features.py:37-42);
+    run_anomaly_analysis manages the cache lifecycle itself via
+    build_edges/features_from_edges."""
+    edges = build_edges(tt, ts_col, min_amount, blacklist).cache()
+    return features_from_edges(edges)
+
+
+def features_from_edges(edges: DataFrame) -> DataFrame:
+    """Feature join over a (cached) aggregated edgelist."""
     nf = graph.node_features(edges)
     mutual = graph.mutual_pair_features(edges).withColumnRenamed(
         "two_node_loop_tx", "two_node_loop_tx_count"
@@ -156,23 +236,66 @@ def heuristic_rules(df: DataFrame, t: dict[str, float]) -> DataFrame:
     return scoring.apply_rules(df, rules)
 
 
-def preprocess_features(df: DataFrame) -> DataFrame:
-    """K1: log1p on 6 skewed columns, two log-ratios, z-score all 9
-    (statistical_anomaly_detection.py:18-57)."""
+def add_log_features(df: DataFrame) -> DataFrame:
+    """K1 first half: log1p on 6 skewed columns + two log-ratios — pure
+    column expressions, no action (statistical_anomaly_detection.py:18-40)."""
     for c in LOG_FEATURES:
         df = df.withColumn(f"{c}_log", F.log1p(F.col(c)))
-    df = df.withColumn(
+    return df.withColumn(
         "log_degree_ratio",
         F.log((F.col("in_degree") + 1) / (F.col("out_degree") + 1)),
     ).withColumn(
         "log_amount_ratio",
         F.log((F.col("total_input_amount") + 1) / (F.col("total_output_amount") + 1)),
     )
-    stats = scoring.zscore_stats(df, Z_FEATURES)
+
+
+def apply_z(df: DataFrame, stats: dict[str, tuple[float, float]]) -> DataFrame:
+    """K1 second half: z-score the 9 features with precomputed ddof=1
+    moments (statistical_anomaly_detection.py:43-57)."""
     for c in Z_FEATURES:
         m, s = stats[c]
         df = df.withColumn(f"{c}_z", (F.col(c) - F.lit(m)) / F.lit(s))
     return df
+
+
+def preprocess_features(df: DataFrame) -> DataFrame:
+    """K1: log1p on 6 skewed columns, two log-ratios, z-score all 9
+    (statistical_anomaly_detection.py:18-57)."""
+    df = add_log_features(df)
+    return apply_z(df, scoring.zscore_stats(df, Z_FEATURES))
+
+
+def fused_threshold_and_z_stats(
+    df: DataFrame, q: float = 0.99
+) -> tuple[dict[str, float], dict[str, tuple[float, float]]]:
+    """Rule thresholds (A4) AND z-score moments (K1) in ONE aggregation
+    action over a frame that already has the log/ratio columns.
+
+    Trade-off, measured in round 1 (BENCH/BASELINE.md): exact percentile
+    forces ObjectHashAggregate, so the avg/stddev expressions in the same
+    aggregate run interpreted. Here the input is the CACHED per-account
+    feature frame (orders of magnitude smaller than the transfer table),
+    where one interpreted pass beats two codegen'd passes + an extra
+    driver sync — the suite's per-row hot path keeps the codegen split."""
+    aggs = []
+    for c in THRESHOLD_COLS:
+        flt = f" FILTER (WHERE `{c}` > 0)" if c in ZERO_EXCLUDED else ""
+        aggs.append(F.expr(f"percentile(`{c}`, {q}){flt}").alias(f"t__{c}"))
+    for c in Z_FEATURES:
+        aggs.append(F.avg(c).alias(f"m__{c}"))
+        aggs.append(F.stddev_samp(c).alias(f"s__{c}"))
+    row = df.agg(*aggs).collect()[0]
+    thresholds = {
+        c: (row[f"t__{c}"] if row[f"t__{c}"] is not None else 0.0)
+        for c in THRESHOLD_COLS
+    }
+    zstats = {}
+    for c in Z_FEATURES:
+        m = row[f"m__{c}"] or 0.0
+        s = row[f"s__{c}"]
+        zstats[c] = (float(m), float(s) if s not in (None, 0.0) else 1.0)
+    return thresholds, zstats
 
 
 def score(df: DataFrame, score_cols: list[str]) -> DataFrame:
@@ -206,39 +329,87 @@ def score(df: DataFrame, score_cols: list[str]) -> DataFrame:
     return df
 
 
+# test/debug handles from the most recent run_anomaly_analysis call —
+# lets tests assert cache state without widening the return type
+_last_run_handles: dict = {}
+
+
 def run_anomaly_analysis(
     tt: DataFrame,
     infra_addresses: list[str] | None = None,
-    include_iforest: bool = False,
+    include_iforest: bool = True,
+    min_amount: float = 0.0,
+    blacklist: list[str] | None = None,
+    tx: DataFrame | None = None,
+    blocks: DataFrame | None = None,
+    iforest_params: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Full EP2: features → split infra → thresholds → rules → z →
-    Mahalanobis → (optional iforest) → scores → re-merged result."""
-    feats = extract_account_features(tt)
+    """Full EP2 (reference run_anomaly_analysis_pipeline.py:22-104):
+    [timestamp lineage] → edge filter → features → split infra →
+    thresholds → rules → z → Mahalanobis → IsolationForest → scores →
+    re-merged result.
+
+    * `min_amount`/`blacklist` mirror the reference's pre-graph pruning
+      (run_graph_builder.py:23 uses 1e12 Wei; blacklist defaults to the
+      reference's 3 burn addresses — pass [] to disable).
+    * `tx`/`blocks` enable the transfer⋈tx⋈block timestamp join with
+      orphan counting (load_clean_edgelist.py:41-54); the edgelist then
+      carries real `first_ts`.
+    * iforest: numpy iTree ensemble with the reference's parameters
+      (n_estimators=300, max_samples=100k, seed=42); final score is the
+      mean of 3 detectors (scoring.py:96-98).
+    * Cache discipline: the edgelist and the per-account feature frame
+      are cached (the feature frame feeds 3-4 separate driver actions —
+      without the cache every action re-runs the triangle/egonet joins);
+      with materialize=True the result is localCheckpoint'ed (cuts
+      lineage, one extra job over the small per-account table) and both
+      caches are released before returning. On a multi-tenant cluster,
+      swap localCheckpoint for a reliable checkpoint dir.
+
+    Driver actions per run: 1 fused stats pass + 1 covariance pass +
+    1 iforest fit sample + 1 materialization (+1 orphan count when
+    tx/blocks are given).
+    """
+    ts_col = None
+    orphans = None
+    if tx is not None and blocks is not None:
+        tt, orphans = attach_block_timestamps(tt, tx, blocks)
+        ts_col = "timestamp"
+    edges = build_edges(tt, ts_col, min_amount, blacklist).cache()
+    feats = features_from_edges(edges)
     infra = [a.strip().lower() for a in (infra_addresses or [])]
     feats = feats.withColumn(
         "is_infra", F.col("address").isin(infra).cast("int")
     )
-    work = feats.filter(F.col("is_infra") == 0)
+    base = add_log_features(feats.filter(F.col("is_infra") == 0)).cache()
 
-    t = compute_thresholds(work)
-    work = heuristic_rules(work, t)
-    work = preprocess_features(work)
-    work = mahalanobis.mahalanobis(
-        work, [f"{c}_z" for c in Z_FEATURES], "mahalanobis_distance"
-    )
+    t, zstats = fused_threshold_and_z_stats(base)  # action 1 (fills cache)
+    work = heuristic_rules(base, t)
+    work = apply_z(work, zstats)
+    zcols = [f"{c}_z" for c in Z_FEATURES]
+    work = mahalanobis.mahalanobis(work, zcols, "mahalanobis_distance")
     extra_scores: list[str] = []
     if include_iforest:
-        try:  # sklearn is optional and absent in this environment
-            from sklearn.ensemble import IsolationForest  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "IsolationForest scoring needs scikit-learn; the engine's "
-                "built-in replacement is drift scoring (operators/drift.py)"
-            ) from e
+        params = {"n_estimators": 300, "max_samples": 100_000, "seed": 42}
+        params.update(iforest_params or {})
+        model = iforest.fit_iforest(work, zcols, **params)  # action 3
+        work = iforest.score_iforest(work, zcols, model)
+        work = scoring.hazen_percentile_agg(
+            work, "iforest_score", "iforest_stats_score_100"
+        )
+        extra_scores = ["iforest_stats_score_100"]
     work = score(work, extra_scores)
 
     drop = [c for c in work.columns
             if c.endswith("_log") or c.endswith("_z") or c.endswith("_ratio")]
     work = work.drop(*drop)
     infra_rows = feats.filter(F.col("is_infra") == 1)
-    return work.unionByName(infra_rows, allowMissingColumns=True)
+    out = work.unionByName(infra_rows, allowMissingColumns=True)
+    _last_run_handles.clear()
+    _last_run_handles.update(edges=edges, work=base, orphans=orphans)
+    if materialize:
+        out = out.localCheckpoint(eager=True)  # final action
+        base.unpersist()
+        edges.unpersist()
+    return out
