@@ -67,5 +67,10 @@ def amount_columns(hex_col: Column) -> list[Column]:
 
 
 def wei_to_eth(col: Column) -> Column:
-    """Display conversion, 6 dp fixed — reference api/utils.py:6-15."""
-    return F.format_number(col.cast("double") / 1e18, 6)
+    """Display conversion, 6 dp fixed — reference api/utils.py:6-15
+    (f"{wei/1e18:.6f}", no thousands grouping). The 6dp rounding is made
+    explicit at integer micro-ETH scale (floor(x/1e12 + 0.5), HALF_UP) so
+    every engine renders the identical string; the reference's f-string
+    delegates exact ties to the platform float formatter instead."""
+    micro = F.floor(col.cast("double") / 1e12 + F.lit(0.5))
+    return F.format_string("%.6f", micro / 1e6)

@@ -72,6 +72,134 @@ def top_failing_partitions(verdicts: DataFrame, n: int = 100) -> DataFrame:
     )
 
 
+# ===== EP2 analysis-result endpoints (reference api/app.py) =====
+
+_UNITS = {
+    "amounts": "ether (ETH)",
+    "egonet_density": "0–1",
+    "degree": "count",
+    "scores": "0–100",
+}
+
+
+def _eth(x) -> str:
+    """reference api/utils.py:6-15: f"{int(wei)/1e18:.6f}"."""
+    return f"{int(x) / 1e18:.6f}"
+
+
+def pack_rules(row: dict, ids=range(1, 7)) -> list[dict]:
+    """Triggered-rule list (reference api/utils.py:51-71): one
+    {rule, description} entry per H{i}_flag == 1."""
+    items = []
+    for i in ids:
+        if row.get(f"H{i}_flag", 0) == 1:
+            items.append({
+                "rule": f"H{i}",
+                "description": str(row.get(f"H{i}_description")),
+            })
+    return items
+
+
+def top_addresses(result: DataFrame, n: int = 100) -> list[dict]:
+    """/v1/top (reference app.py:45-58): top-n by final_score_0_100 with a
+    1..n ranking column and the score rounded to 1dp. orderBy+limit is a
+    distributed TakeOrdered — only n rows ever reach the driver."""
+    rows = (
+        result.select("address", "final_score_0_100")
+        .orderBy(F.col("final_score_0_100").desc_nulls_last())
+        .limit(n)
+        .collect()
+    )
+    return [
+        {
+            "ranking": i + 1,
+            "address": r.address,
+            "final_score_0_100": round(float(r.final_score_0_100), 1)
+            if r.final_score_0_100 is not None else None,
+        }
+        for i, r in enumerate(rows)
+    ]
+
+
+def address_profile(
+    result: DataFrame, addr: str, chain: str = "ethereum", period: str = ""
+) -> dict | None:
+    """/v1/address (reference app.py:103-188): the nested
+    meta/features/scores/explanations response for one address, with the
+    infra null profile special case. Returns None when the address is
+    absent (the reference returns an empty JSON list).
+
+    The lookup is a pushed-down equality filter + limit — at scale this
+    prunes to the partitions/row-groups containing the address."""
+    rows = (
+        result.filter(F.lower(F.col("address")) == addr.strip().lower())
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    r = rows[0].asDict()
+    meta = {
+        "chain": chain,
+        "period": period,
+        "address": r["address"],
+        "units": dict(_UNITS),
+    }
+    if bool(r["is_infra"]):
+        return {
+            "meta": meta,
+            "features": {
+                "is_infra": True,
+                "degree": None,
+                "amounts": None,
+                "motifs": None,
+                "egonet": None,
+            },
+            "scores": None,
+            "explanations": None,
+        }
+    return {
+        "meta": meta,
+        "features": {
+            "is_infra": bool(r["is_infra"]),
+            "degree": {
+                "in_degree": int(r["in_degree"]),
+                "out_degree": int(r["out_degree"]),
+                "in_transfer_count": int(r["in_transfer_count"]),
+                "out_transfer_count": int(r["out_transfer_count"]),
+            },
+            "amounts": {
+                "total_input_amount_eth": _eth(r["total_input_amount"]),
+                "total_output_amount_eth": _eth(r["total_output_amount"]),
+            },
+            "motifs": {
+                # the aggregated graph carries one self-edge per account,
+                # so has_self_loop IS the reference's self_loop_count
+                "self_loop_count": int(r.get("self_loop_count",
+                                             r.get("has_self_loop", 0))),
+                "two_node_loop_count": int(r["two_node_loop_count"]),
+                "triangle_loop_count": int(r["triangle_loop_count"]),
+            },
+            "egonet": {
+                "egonet_density": round(float(r["egonet_density"]), 1),
+            },
+        },
+        "scores": {
+            "rule_score_100": round(float(r["rule_score_100"]), 1),
+            "mahalanobis_stats_100": round(
+                float(r["mahalanobis_distance_stats_score_100"]), 1),
+            "iforest_stats_100": round(
+                float(r["iforest_stats_score_100"]), 1),
+            "final_score_0_100": round(float(r["final_score_0_100"]), 1),
+            "final_score_top_percent": r["final_score_top_percent_display"],
+        },
+        "explanations": {
+            "rule_ids": [item["rule"] for item in pack_rules(r)],
+            "rules": pack_rules(r),
+        },
+    }
+
+
 def partition_profile(verdicts: DataFrame, violations: DataFrame,
                       partition_id: str) -> dict:
     """/v1/address analogue (reference app.py:103-188): one partition's

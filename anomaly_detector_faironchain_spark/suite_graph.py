@@ -456,7 +456,9 @@ def q_wei_to_eth(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WEI_TO_ETH = """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(trunc(o_totalprice * 1e10) AS BIGINT) AS wei,
-       printf('%.6f', CAST(trunc(o_totalprice * 1e10) AS BIGINT) / 1e18) AS eth
+       printf('%.6f',
+              FLOOR(CAST(trunc(o_totalprice * 1e10) AS BIGINT) / 1e12 + 0.5)
+              / 1e6) AS eth
 FROM orders
 """
 

@@ -124,3 +124,70 @@ def test_checkpoint_resume_skips_completed(spark, tmp_path):
     assert r2 is not None
     scanned = [r.partition_id for r in r2.profile.select("partition_id").collect()]
     assert scanned == [victim]
+
+
+def test_v1_address_response_contract_matches_reference(spark):
+    """Dict shape mirrors reference api/app.py:117-186 exactly: nested
+    meta/features/scores/explanations, infra null profile, ETH strings."""
+    from anomaly_detector_faironchain_spark.plans import sqlapi
+
+    cols = ("address string, is_infra int, in_degree long, out_degree long, "
+            "in_transfer_count long, out_transfer_count long, "
+            "total_input_amount double, total_output_amount double, "
+            "has_self_loop int, two_node_loop_count long, "
+            "triangle_loop_count long, egonet_density double, "
+            "H1_flag int, H1_description string, H2_flag int, H2_description string, "
+            "H3_flag int, H3_description string, H4_flag int, H4_description string, "
+            "H5_flag int, H5_description string, H6_flag int, H6_description string, "
+            "rule_score_100 float, mahalanobis_distance_stats_score_100 float, "
+            "iforest_stats_score_100 float, final_score_0_100 float, "
+            "final_score_top_percent_display string")
+    h = {f"H{i}": v for i, v in
+         [(1, (1, "H1: desc")), (2, (0, "")), (3, (0, "")),
+          (4, (0, "")), (5, (1, "H5: desc")), (6, (0, ""))]}
+    flags = [x for i in range(1, 7) for x in h[f"H{i}"]]
+    rows = [
+        tuple(["0xAbC1", 0, 7, 2, 11, 3, 2.5e18, 1.2e18, 1, 2, 0, 0.25]
+              + flags + [33.33, 91.2345, 88.5, 71.0, "0.50%"]),
+        tuple(["0xinfra", 1, 0, 0, 0, 0, 0.0, 0.0, 0, 0, 0, 0.0]
+              + [0, ""] * 6 + [None, None, None, None, None]),
+    ]
+    df = spark.createDataFrame(rows, cols)
+
+    resp = sqlapi.address_profile(df, "0xABC1", chain="ethereum",
+                                  period="2023-01")
+    assert set(resp) == {"meta", "features", "scores", "explanations"}
+    assert set(resp["meta"]) == {"chain", "period", "address", "units"}
+    assert set(resp["meta"]["units"]) == {"amounts", "egonet_density",
+                                          "degree", "scores"}
+    assert set(resp["features"]) == {"is_infra", "degree", "amounts",
+                                     "motifs", "egonet"}
+    assert set(resp["features"]["degree"]) == {
+        "in_degree", "out_degree", "in_transfer_count", "out_transfer_count"}
+    assert resp["features"]["amounts"] == {
+        "total_input_amount_eth": "2.500000",
+        "total_output_amount_eth": "1.200000"}
+    assert resp["features"]["motifs"] == {
+        "self_loop_count": 1, "two_node_loop_count": 2,
+        "triangle_loop_count": 0}
+    assert resp["features"]["egonet"] == {"egonet_density": 0.2}
+    assert resp["scores"] == {
+        "rule_score_100": 33.3, "mahalanobis_stats_100": 91.2,
+        "iforest_stats_100": 88.5, "final_score_0_100": 71.0,
+        "final_score_top_percent": "0.50%"}
+    assert resp["explanations"]["rule_ids"] == ["H1", "H5"]
+    assert resp["explanations"]["rules"][0] == {
+        "rule": "H1", "description": "H1: desc"}
+
+    infra = sqlapi.address_profile(df, "0xINFRA")
+    assert infra["features"] == {"is_infra": True, "degree": None,
+                                 "amounts": None, "motifs": None,
+                                 "egonet": None}
+    assert infra["scores"] is None and infra["explanations"] is None
+
+    assert sqlapi.address_profile(df, "0xmissing") is None
+
+    top = sqlapi.top_addresses(df, n=5)
+    assert top[0] == {"ranking": 1, "address": "0xAbC1",
+                      "final_score_0_100": 71.0}
+    assert [t["ranking"] for t in top] == [1, 2]
