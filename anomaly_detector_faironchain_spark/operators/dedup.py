@@ -219,3 +219,54 @@ def hamming16(a, b):
         bit = F.abs(F.floor(a / (2 ** j)) % 2 - F.floor(b / (2 ** j)) % 2)
         d = bit if d is None else d + bit
     return d.cast("int")
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over distinct tokens: (id, simhash64 — a 16-char
+    lowercase hex string).
+
+    The production-width variant of simhash16, same single-aggregation
+    plan: per token the 64-bit hash is the first 16 nibbles of
+    md5(token) (portable to any SQL engine, keeping the oracle exact —
+    swap to xxhash64 for ~3x cheaper signatures when parity isn't
+    needed); bit j of the doc hash is the sign of Σ_tokens (2·bit_j − 1).
+    The hex-string encoding sidesteps int64 sign overflow at bit 63 and
+    compares/joins identically everywhere.
+    """
+    tok = tokens(df, id_col, text_col).select(
+        "id", F.explode("toks").alias("tok")
+    ).distinct()
+    md5c = F.md5(F.col("tok"))
+    nib = lambda i: F.instr(F.lit(_HEX), F.substring(md5c, i, 1)) - 1  # noqa: E731
+    th = tok.select("id", *[nib(i + 1).alias(f"n{i}") for i in range(16)])
+    aggs = []
+    for i in range(16):
+        for b in range(4):
+            bit = F.floor(F.col(f"n{i}") / (2 ** b)) % 2
+            aggs.append(F.sum(bit * 2 - 1).alias(f"s{i}_{b}"))
+    sums = th.groupBy("id").agg(*aggs)  # 64 independent sums, one pass
+    alphabet = F.array(*[F.lit(c) for c in _HEX])
+    nibbles = []
+    for i in range(16):
+        v = None
+        for b in range(4):
+            t = F.when(F.col(f"s{i}_{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+            v = t if v is None else v + t
+        nibbles.append(F.element_at(alphabet, v.cast("int") + 1))
+    return sums.select("id", F.concat(*nibbles).alias("simhash64"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two 16-hex-char SimHashes: per-nibble
+    xor + bit_count (both available in Spark and DuckDB)."""
+    d = None
+    alpha = F.lit(_HEX)
+    for i in range(1, 17):
+        na = (F.instr(alpha, F.substring(a, i, 1)) - 1).cast("int")
+        nb = (F.instr(alpha, F.substring(b, i, 1)) - 1).cast("int")
+        t = F.bit_count(na.bitwiseXOR(nb))
+        d = t if d is None else d + t
+    return d.cast("int")

@@ -227,6 +227,55 @@ SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM ham GROUP BY 1
 """
 
 
+def q_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sim = dedup.simhash64(docs, "doc_id", "text")
+    a = sim.select(F.col("id").alias("id_a"), F.col("simhash64").alias("ha"))
+    b = sim.select(F.col("id").alias("id_b"), F.col("simhash64").alias("hb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    ham = pairs.select(
+        dedup.hamming64(F.col("ha"), F.col("hb")).alias("hamming")
+    )
+    return ham.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def _simhash64_oracle() -> str:
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(md5(tok), {i}, 1)) - 1)"  # noqa: E731
+    nibs = ", ".join(f"{nib(i + 1)} AS n{i}" for i in range(16))
+    bit_sums = ", ".join(
+        f"SUM(2 * (CAST(FLOOR(n{i} / {2 ** b}) AS BIGINT) % 2) - 1) AS s{i}_{b}"
+        for i in range(16) for b in range(4)
+    )
+    nibble_chars = " || ".join(
+        "substr('0123456789abcdef', ("
+        + " + ".join(f"CASE WHEN s{i}_{b} > 0 THEN {2 ** b} ELSE 0 END"
+                     for b in range(4))
+        + ") + 1, 1)"
+        for i in range(16)
+    )
+    ham_expr = " + ".join(
+        f"bit_count(xor(CAST(strpos('0123456789abcdef', substr(a.simhash64, {i}, 1)) - 1 AS INT), "
+        f"CAST(strpos('0123456789abcdef', substr(b.simhash64, {i}, 1)) - 1 AS INT)))"
+        for i in range(1, 17)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT id, {nibs} FROM tok),
+sums AS (SELECT id, {bit_sums} FROM th GROUP BY 1),
+sim AS (SELECT id, {nibble_chars} AS simhash64 FROM sums),
+ham AS (
+  SELECT CAST({ham_expr} AS INT) AS hamming
+  FROM sim a JOIN sim b ON a.id < b.id
+)
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM ham GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search: brute-force kNN, LSH buckets, LSH ANN
 # ---------------------------------------------------------------------------
@@ -460,6 +509,7 @@ QUERIES = {
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_hamming_hist": q_simhash_hamming_hist,
+    "simhash64_hamming": q_simhash64_hamming,
     "knn_bruteforce": q_knn_bruteforce,
     "lsh_buckets": q_lsh_buckets,
     "lsh_ann_topk": q_lsh_ann_topk,
@@ -474,6 +524,7 @@ ORACLES = {
     "minhash_lsh_neardup": _minhash_oracle(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash_hamming_hist": _simhash_oracle(),
+    "simhash64_hamming": _simhash64_oracle(),
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "lsh_buckets": ORACLE_LSH_BUCKETS,
     "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,

@@ -151,3 +151,20 @@ def test_jaccard_hot_shingle_fanout_stays_linear_in_candidates(spark):
     # hot shingle alone before any candidate restriction.
     sa = sh.select(F.col("id").alias("id_a"), "shingle")
     assert pairs.join(sa, "id_a").count() == 12
+
+
+def test_simhash64_identity_and_hamming(spark, docs):
+    aug = docs.select("doc_id", "text").limit(20).unionByName(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text").limit(20)
+    )
+    sim = dedup.simhash64(aug, "doc_id", "text")
+    rows = {r.id: r.simhash64 for r in sim.collect()}
+    for i in list(rows)[:20]:
+        if i < 10_000:
+            assert rows[i] == rows[i + 10_000]  # identical text → same hash
+            assert len(rows[i]) == 16 and all(c in "0123456789abcdef" for c in rows[i])
+    a = sim.select(F.col("id").alias("id_a"), F.col("simhash64").alias("ha"))
+    b = sim.select(F.col("id").alias("id_b"), F.col("simhash64").alias("hb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") + 10_000 == F.col("id_b"))
+    ham = pairs.select(dedup.hamming64(F.col("ha"), F.col("hb")).alias("h"))
+    assert ham.agg(F.max("h")).collect()[0][0] == 0
