@@ -395,10 +395,19 @@ def run_anomaly_analysis(
         params.update(iforest_params or {})
         model = iforest.fit_iforest(work, zcols, **params)  # action 3
         work = iforest.score_iforest(work, zcols, model)
+        extra_scores = ["iforest_stats_score_100"]
+    if materialize:
+        # pin the detector-score frame (per-account, small) before the
+        # rank layers: each distributed rank fans into 3 plan branches
+        # (boundaries, bucket counts, main), and 3 chained ranks would
+        # otherwise re-execute the Mahalanobis/iforest Arrow UDF scans
+        # ~3^3 times; after this checkpoint every branch reads the
+        # materialized rows
+        work = work.localCheckpoint(eager=True)
+    if include_iforest:
         work = scoring.hazen_percentile_agg(
             work, "iforest_score", "iforest_stats_score_100"
         )
-        extra_scores = ["iforest_stats_score_100"]
     work = score(work, extra_scores)
 
     drop = [c for c in work.columns

@@ -40,6 +40,7 @@ def raw_native_transfers(
     big_amount_every: int = 17,
     zero_amount_every: int = 0,
     bad_address_every: int = 0,
+    n_accounts: int = 400,
 ) -> DataFrame:
     """One row per native transfer. Amounts are 64-nibble hex Wei:
     mostly int64-sized, every `big_amount_every`-th beyond 2^64 (the
@@ -49,10 +50,10 @@ def raw_native_transfers(
     gid = F.col("id")
     u = F.pmod(F.xxhash64(gid, F.lit(seed)), F.lit(1_000_000))
 
-    # ~400 distinct accounts, heavy-ish reuse
+    # n_accounts distinct accounts, heavy-ish reuse
     acct = lambda s: F.concat(  # noqa: E731
         F.lit("0x"),
-        _hex_of(F.pmod(F.xxhash64(gid, F.lit(s)), F.lit(400)), 40, s),
+        _hex_of(F.pmod(F.xxhash64(gid, F.lit(s)), F.lit(n_accounts)), 40, s),
     )
     from_addr = acct(f"from{seed}")
     to_addr = acct(f"to{seed}")

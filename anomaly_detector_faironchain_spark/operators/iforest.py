@@ -95,7 +95,7 @@ def _build_tree(X: np.ndarray, rng: np.random.Generator, max_depth: int,
             hi = sub.max(axis=0)
             usable = np.flatnonzero(hi > lo)
             if len(usable) > 0:
-                split_feat = int(rng.choice(usable))
+                split_feat = int(usable[rng.integers(len(usable))])
         if split_feat < 0:
             feat.append(-1)
             thr.append(0.0)

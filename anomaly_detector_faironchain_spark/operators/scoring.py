@@ -63,6 +63,58 @@ def robust_z(col: Column, median: float, mad: float) -> Column:
     return F.lit(0.6745) * (col - F.lit(median)) / F.lit(denom)
 
 
+def zscore_cols(df: DataFrame, cols: list[str], suffix: str = "_z") -> DataFrame:
+    """Z-score columns with ZERO driver actions: the 1-row moment
+    aggregate is broadcast-cross-joined into the plan instead of being
+    collected and re-injected as literals. Same job count as the data
+    scan itself — the stats stage and the scoring stage overlap inside
+    one Spark job, no driver round-trip between them."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(c).alias(f"__m__{c}"))
+        aggs.append(F.stddev_samp(c).alias(f"__s__{c}"))
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        sd = F.when(
+            F.col(f"__s__{c}").isNull() | (F.col(f"__s__{c}") == 0), F.lit(1.0)
+        ).otherwise(F.col(f"__s__{c}"))
+        out = out.withColumn(
+            f"{c}{suffix}",
+            (F.col(c) - F.coalesce(F.col(f"__m__{c}"), F.lit(0.0))) / sd,
+        )
+    return out.drop(*[f"__m__{c}" for c in cols], *[f"__s__{c}" for c in cols])
+
+
+def robust_z_cols(df: DataFrame, cols: list[str], suffix: str = "_rz") -> DataFrame:
+    """Median/MAD robust z with ZERO driver actions: median aggregate →
+    broadcast; MAD aggregate over the residuals → broadcast; scoring pass.
+    Three scans chained in ONE job (the same scan count robust_stats pays
+    across its two collect() round-trips, minus the driver syncs)."""
+    med = df.agg(
+        *[F.expr(f"percentile(`{c}`, 0.5)").alias(f"__med__{c}") for c in cols]
+    )
+    with_med = df.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        *[
+            F.expr(f"percentile(abs(`{c}` - `__med__{c}`), 0.5)").alias(f"__mad__{c}")
+            for c in cols
+        ]
+    )
+    out = with_med.crossJoin(F.broadcast(mad))
+    for c in cols:
+        mad_c = F.when(
+            F.col(f"__mad__{c}").isNull() | (F.col(f"__mad__{c}") <= 0), F.lit(1.0)
+        ).otherwise(F.col(f"__mad__{c}"))
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.lit(0.6745) * (F.col(c) - F.col(f"__med__{c}")) / mad_c,
+        )
+    return out.drop(
+        *[f"__med__{c}" for c in cols], *[f"__mad__{c}" for c in cols]
+    )
+
+
 def zscore_stats(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
     """Classic mean + sample std (ddof=1, matching pandas
     statistical_anomaly_detection.py:6-15) in one fused pass."""
@@ -113,24 +165,43 @@ def distributed_avg_rank(
     top-percent labels, safe for CONTINUOUS scores at any scale.
 
     Plan shape (no single-reducer sort of the data, no driver action):
-      1. repartitionByRange(col): each partition holds a contiguous value
-         range, so ties never span partitions;
-      2. per-partition rank + tie counts via a Window PARTITIONED by the
-         range-partition id — one exchange + one sort, parallel across
-         partitions (both window specs share the same exchange/sort:
-         hash(pid) satisfies ClusteredDistribution(pid, col));
-      3. global offsets from a per-partition count table bounded by
+      1. bucket boundaries from ONE in-plan percentile_approx aggregate,
+         broadcast-cross-joined back; each row's bucket id is a PURE
+         FUNCTION OF ITS VALUE (ties can never split across buckets, and
+         every plan branch derives the identical id — spark_partition_id
+         after repartitionByRange is NOT branch-stable once AQE coalesces
+         the two shuffle reads differently, which silently dropped rows
+         at 2M-edge scale);
+      2. per-bucket rank + tie counts via a Window partitioned by the
+         bucket id — one hash exchange + one sort, parallel across
+         buckets (both window specs share them: hash(pid) satisfies
+         ClusteredDistribution(pid, col));
+      3. global offsets from a per-bucket count table bounded by
          spark.sql.shuffle.partitions rows — the only Window.orderBy runs
-         over THAT table, then broadcast-joins back. Total n comes from the
-         same tiny table, so no count() action either.
+         over THAT table, then broadcast-joins back. Total n comes from
+         the same tiny table, so no count() action either.
+    Descending ranks are n + 1 − r_asc (exact for average-rank ties), so
+    one ascending kernel serves both directions.
 
     Replaces the round-1 distinct-value + broadcast design, which
     degenerated to a global sort + driver OOM when |distinct| ≈ n
     (continuous Mahalanobis scores) — VERDICT r1 "What's wrong #1/#2".
+    Rows with a NULL score would drop out of the bucket join (callers
+    na.fill first, as the reference's preprocessing does).
     """
-    order = F.col(col).asc() if ascending else F.col(col).desc()
-    part = df.repartitionByRange(order).withColumn(
-        "__pid__", F.spark_partition_id()
+    spark = df.sparkSession
+    p = max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 1)
+    qs = F.array(*[F.lit(i / p) for i in range(1, p)])
+    bounds = df.agg(
+        F.percentile_approx(col, qs, F.lit(10_000)).alias("__bounds__")
+    )
+    part = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__pid__",
+            F.size(F.filter(F.col("__bounds__"), lambda b: b < F.col(col))),
+        )
+        .drop("__bounds__")
     )
     totals = part.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__pc__"))
     w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
@@ -142,15 +213,19 @@ def distributed_avg_rank(
         F.coalesce(F.sum("__pc__").over(w_off), F.lit(0)).alias("__off__"),
         F.sum("__pc__").over(w_all).cast("double").alias(n_col),
     )
-    w_rank = Window.partitionBy("__pid__").orderBy(order)
+    w_rank = Window.partitionBy("__pid__").orderBy(F.col(col).asc())
     w_ties = Window.partitionBy("__pid__", col)
     local = F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0
-    return (
+    ranked = (
         part.withColumn("__lr__", local)
         .join(F.broadcast(offsets), "__pid__")
-        .withColumn(out_col, F.col("__off__") + F.col("__lr__"))
+        .withColumn("__ar__", F.col("__off__") + F.col("__lr__"))
         .drop("__pid__", "__lr__", "__off__")
     )
+    rank_expr = (
+        F.col("__ar__") if ascending else F.col(n_col) + 1 - F.col("__ar__")
+    )
+    return ranked.withColumn(out_col, rank_expr).drop("__ar__")
 
 
 def hazen_percentile_agg(

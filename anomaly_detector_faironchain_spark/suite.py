@@ -243,13 +243,17 @@ WHERE o.o_custkey IS NOT NULL
 # ---------------------------------------------------------------------------
 
 def q_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pure-plan variant: the threshold aggregate IS the result — no
+    # collect()-then-literal round trip (VERDICT r1 next-round #5)
     li = _t(spark, sf_dir, "lineitem")
-    t = scoring.quantile_thresholds(
-        li, ["l_quantity", "l_extendedprice"], q=0.99, exclude_zeros=True
-    )
-    return spark.createDataFrame(
-        [(round(t["l_quantity"], 4), round(t["l_extendedprice"], 4))],
-        "q99_quantity double, q99_price double",
+    return li.agg(
+        F.expr("percentile(l_quantity, 0.99) FILTER (WHERE l_quantity > 0)")
+        .alias("tq"),
+        F.expr("percentile(l_extendedprice, 0.99) FILTER (WHERE l_extendedprice > 0)")
+        .alias("tp"),
+    ).select(
+        F.round("tq", 4).cast("double").alias("q99_quantity"),
+        F.round("tp", 4).cast("double").alias("q99_price"),
     )
 
 
@@ -266,12 +270,11 @@ WHERE l_quantity > 0 AND l_extendedprice > 0
 # ---------------------------------------------------------------------------
 
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zero-collect plan: broadcast 1-row moments instead of literals
     cust = _t(spark, sf_dir, "customer")
-    st = scoring.zscore_stats(cust, ["c_acctbal"])
-    m, s = st["c_acctbal"]
-    return cust.select(
+    return scoring.zscore_cols(cust, ["c_acctbal"]).select(
         F.col("c_custkey").cast("long").alias("c_custkey"),
-        _r4((F.col("c_acctbal") - F.lit(m)) / F.lit(s)).alias("z_acctbal"),
+        _r4(F.col("c_acctbal_z")).alias("z_acctbal"),
     )
 
 
@@ -284,12 +287,11 @@ FROM customer, s
 
 
 def q_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zero-collect plan: median → MAD → score chained in one job
     sup = _t(spark, sf_dir, "supplier")
-    st = scoring.robust_stats(sup, ["s_acctbal"])
-    med, mad = st["s_acctbal"]
-    return sup.select(
+    return scoring.robust_z_cols(sup, ["s_acctbal"]).select(
         F.col("s_suppkey").cast("long").alias("s_suppkey"),
-        _r4(scoring.robust_z(F.col("s_acctbal"), med, mad)).alias("rz_acctbal"),
+        _r4(F.col("s_acctbal_rz")).alias("rz_acctbal"),
     )
 
 

@@ -79,6 +79,55 @@ def bench_source_files(spark, work_dir: str = "/tmp/bench_source_files") -> tupl
     return min(run(), run()), SOURCE_FILES_ROWS
 
 
+# EP2 corpus: 2M abstract transfers over 20k accounts (degree ~100 —
+# motif/egonet joins dominate, which is the path being regression-guarded)
+TRANSFER_ROWS = int(os.environ.get("BENCH_TRANSFER_ROWS", "2000000"))
+
+
+def bench_analysis_pipeline(spark, work_dir: str = "/tmp/bench_transfers") -> float:
+    """EP2 wall time: the full anomaly-analysis pipeline (graph build →
+    node/motif/egonet features → rules + Mahalanobis + IsolationForest →
+    distributed Hazen/top-percent scores → materialized result).
+
+    iforest max_samples is capped at 2048 for the bench: the numpy fit is
+    a driver-side cost knob (the reference's 100k assumes sklearn's C
+    trees); 300 trees × 2048 samples keeps the fit a few seconds while
+    still exercising the broadcast + Arrow scoring path at full width.
+    """
+    from anomaly_detector_faironchain_spark.analysis import pipeline  # noqa: E402
+    from anomaly_detector_faironchain_spark.etl import abstract, rawgen  # noqa: E402
+
+    import shutil
+
+    tag = f"{work_dir}/r{TRANSFER_ROWS}"
+    try:
+        tt = spark.read.parquet(tag)
+        if tt.count() != TRANSFER_ROWS:
+            raise ValueError("stale fixture")
+    except Exception:  # noqa: BLE001 — (re)build the fixture
+        shutil.rmtree(tag, ignore_errors=True)
+        rt = rawgen.raw_native_transfers(
+            spark, TRANSFER_ROWS, max(TRANSFER_ROWS // 50, 1),
+            n_accounts=20_000,
+        )
+        abstract.build_abstract_token_transfer(
+            abstract.clean_native_transfers(rt)
+        ).write.parquet(tag)
+        tt = spark.read.parquet(tag)
+
+    def run() -> float:
+        t0 = time.time()
+        res = pipeline.run_anomaly_analysis(
+            tt, min_amount=1e12,
+            iforest_params={"max_samples": 2048},
+        )
+        res.count()  # result is localCheckpoint'ed; count is a fetch
+        return time.time() - t0
+
+    run()  # warm-up
+    return min(run(), run())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -98,6 +147,7 @@ def main() -> None:
 
     sf_seconds, n_files = bench_source_files(spark)
     timings["source_files_suite"] = round(sf_seconds, 3)
+    timings["analysis_pipeline"] = round(bench_analysis_pipeline(spark), 3)
     total = round(sum(timings.values()), 3)
 
     sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -124,14 +124,19 @@ def test_scoring_rank_has_no_global_sort_of_data(spark):
     p = df._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "simple"
     )
-    assert "rangepartitioning" in p  # the distributed rank shuffle
+    # the rank windows are partitioned by the value-derived bucket id
+    assert "percentile_approx" in p and "__pid__" in p
     lines = p.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
             child = lines[i + 1]
-            assert "HashAggregate" in child and "__pid__" in child, (
-                "single-partition exchange must only sit above the bounded "
-                "per-partition count table:\n" + p
+            # bounded inputs only: the per-bucket count table (≤ shuffle
+            # partitions rows) or the 1-row percentile_approx boundary agg
+            ok = ("Aggregate" in child
+                  and ("__pid__" in child or "percentile_approx" in child))
+            assert ok, (
+                "single-partition exchange must only sit above a bounded "
+                "aggregate:\n" + p
             )
 
 

@@ -1,0 +1,61 @@
+"""Distributed average-rank kernel: exact parity with pandas
+rank(method='average') and strict row preservation, at a scale with many
+buckets and heavy ties — the regime where a branch-unstable bucket id
+(the round-2 spark_partition_id bug) silently dropped rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators import scoring
+
+
+def _expected(vals: np.ndarray, ascending: bool) -> np.ndarray:
+    return pd.Series(vals).rank(method="average", ascending=ascending).to_numpy()
+
+
+def test_distributed_avg_rank_matches_pandas_both_directions(spark):
+    n = 40_000
+    # continuous scores + a heavy tie block + duplicated clusters
+    vals = np.concatenate([
+        (np.arange(n - 2000) * 2654435761 % 1000003) / 997.0,
+        np.zeros(1000),                    # heavy tie at 0
+        np.repeat([123.456, 777.0], 500),  # mid-range tie clusters
+    ])
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, score double"
+    ).repartition(32)
+
+    for ascending in (True, False):
+        out = scoring.distributed_avg_rank(
+            df, "score", ascending=ascending
+        ).orderBy("id")
+        pdf = out.toPandas()
+        assert len(pdf) == n  # every row survives the bucket join
+        np.testing.assert_allclose(
+            pdf["__avg_rank__"].to_numpy(), _expected(vals, ascending),
+            rtol=0, atol=1e-9,
+        )
+        assert (pdf["__n__"] == float(n)).all()
+
+
+def test_hazen_and_top_percent_on_continuous_scores(spark):
+    n = 5000
+    vals = np.sin(np.arange(n)) * 1000.0  # continuous, all distinct-ish
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, score double"
+    )
+    h = scoring.hazen_percentile_agg(df, "score", "pctl").orderBy("id").toPandas()
+    exp = ((pd.Series(vals).rank(method="average") - 0.5) / n * 100.0).astype(
+        np.float32
+    )
+    np.testing.assert_allclose(h["pctl"].to_numpy(), exp.to_numpy(), rtol=1e-6)
+
+    t = scoring.top_percent_rank(df, "score", "tp").orderBy("id").toPandas()
+    exp_tp = (
+        pd.Series(vals).rank(method="average", ascending=False) / n * 100.0
+    ).round(2)
+    np.testing.assert_allclose(t["tp"].to_numpy(), exp_tp.to_numpy(), atol=5e-3)
