@@ -52,6 +52,9 @@ class ValidationResult:
     verdicts: DataFrame
     violations: DataFrame
     drift_scores: dict[str, DataFrame] = field(default_factory=dict)
+    # the persisted full violation scan shared by verdicts AND violations
+    # (None when materialize_violations=False)
+    row_violations: DataFrame | None = None
 
     def passed(self) -> bool:
         return self.verdicts.filter(~F.col("passed")).limit(1).count() == 0
@@ -60,10 +63,17 @@ class ValidationResult:
         """Evaluate verdicts and violations CONCURRENTLY (two Spark jobs
         submitted from two driver threads): the scheduler fills one job's
         stage tails with the other's tasks, removing the serial gap two
-        back-to-back actions would leave. Returns (verdict_rows,
-        n_violation_rows)."""
+        back-to-back actions would leave.
+
+        The shared violation scan (the heaviest pass) is warmed FIRST as
+        its own fully-parallel job: two uncached concurrent consumers of
+        one persisted frame can otherwise both compute its partitions
+        (RDD cache locking is best-effort), duplicating the scan.
+        Returns (verdict_rows, n_violation_rows)."""
         from concurrent.futures import ThreadPoolExecutor
 
+        if self.row_violations is not None:
+            self.row_violations.count()
         with ThreadPoolExecutor(2) as ex:
             fv = ex.submit(self.verdicts.collect)
             fx = ex.submit(self.violations.count)
@@ -186,6 +196,7 @@ def validate_table(
     refs = refs or {}
     drift_refs = drift_refs or {}
     spark = df.sparkSession
+    row_viol = None
 
     # Pass 1: fused profile. Cached — it is tiny (one row per partition)
     # and consumed by several verdict builders. When the row-violation
@@ -385,4 +396,5 @@ def validate_table(
             "table string, partition_id string, check_id string, "
             "description string, row_payload string",
         )
-    return ValidationResult(spec.name, profile, verdicts, violations, drift_scores)
+    return ValidationResult(spec.name, profile, verdicts, violations,
+                            drift_scores, row_violations=row_viol)

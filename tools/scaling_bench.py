@@ -89,9 +89,13 @@ def run_level(cores: int) -> dict:
 def main() -> None:
     # interleave levels (8,32,8,32) and keep each level's best: the
     # sandbox VM shows time-correlated throughput swings (host CPU
-    # steal/frequency), which alternation cancels
+    # steal/frequency), which alternation cancels. SCALE_REPS pairs
+    # (default 1; use 2-3 for record runs).
+    import os
+
+    reps = int(os.environ.get("SCALE_REPS", "1"))
     runs8, runs32 = [], []
-    for _ in range(1):
+    for _ in range(reps):
         runs8.append(run_level(8))
         runs32.append(run_level(32))
     r8 = min(runs8, key=lambda r: r["sec"])
