@@ -41,6 +41,7 @@ def raw_native_transfers(
     zero_amount_every: int = 0,
     bad_address_every: int = 0,
     n_accounts: int = 400,
+    shared_account_space: bool = False,
 ) -> DataFrame:
     """One row per native transfer. Amounts are 64-nibble hex Wei:
     mostly int64-sized, every `big_amount_every`-th beyond 2^64 (the
@@ -50,11 +51,15 @@ def raw_native_transfers(
     gid = F.col("id")
     u = F.pmod(F.xxhash64(gid, F.lit(seed)), F.lit(1_000_000))
 
-    # n_accounts distinct accounts, heavy-ish reuse
-    acct = lambda s: F.concat(  # noqa: E731
-        F.lit("0x"),
-        _hex_of(F.pmod(F.xxhash64(gid, F.lit(s)), F.lit(n_accounts)), 40, s),
-    )
+    # n_accounts distinct accounts, heavy-ish reuse. With
+    # shared_account_space the from/to sides draw from ONE address pool
+    # (index varies per side, hex derivation shares a salt) — the graph
+    # is then non-bipartite, so mutual-pair/triangle motifs actually
+    # occur; the default keeps the legacy disjoint spaces byte-identical.
+    def acct(sel_salt: str) -> F.Column:
+        idx = F.pmod(F.xxhash64(gid, F.lit(sel_salt)), F.lit(n_accounts))
+        hex_salt = f"acct{seed}" if shared_account_space else sel_salt
+        return F.concat(F.lit("0x"), _hex_of(idx, 40, hex_salt))
     from_addr = acct(f"from{seed}")
     to_addr = acct(f"to{seed}")
     if bad_address_every:

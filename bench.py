@@ -99,7 +99,7 @@ def bench_analysis_pipeline(spark, work_dir: str = "/tmp/bench_transfers") -> fl
 
     import shutil
 
-    tag = f"{work_dir}/r{TRANSFER_ROWS}"
+    tag = f"{work_dir}/r{TRANSFER_ROWS}_v2"  # v2: shared account space
     try:
         tt = spark.read.parquet(tag)
         if tt.count() != TRANSFER_ROWS:
@@ -108,7 +108,7 @@ def bench_analysis_pipeline(spark, work_dir: str = "/tmp/bench_transfers") -> fl
         shutil.rmtree(tag, ignore_errors=True)
         rt = rawgen.raw_native_transfers(
             spark, TRANSFER_ROWS, max(TRANSFER_ROWS // 50, 1),
-            n_accounts=20_000,
+            n_accounts=20_000, shared_account_space=True,
         )
         abstract.build_abstract_token_transfer(
             abstract.clean_native_transfers(rt)
