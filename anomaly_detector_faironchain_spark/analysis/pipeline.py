@@ -364,13 +364,22 @@ def run_anomaly_analysis(
       without the cache every action re-runs the triangle/egonet joins);
       with materialize=True the result is localCheckpoint'ed (cuts
       lineage, one extra job over the small per-account table) and both
-      caches are released before returning. On a multi-tenant cluster,
-      swap localCheckpoint for a reliable checkpoint dir.
+      caches are released before returning. With materialize=False they
+      stay pinned for inspection (handles in _last_run_handles) and are
+      released by the NEXT run. On a multi-tenant cluster, swap
+      localCheckpoint for a reliable checkpoint dir.
 
     Driver actions per run: 1 fused stats pass + 1 covariance pass +
     1 iforest fit sample + 1 materialization (+1 orphan count when
     tx/blocks are given).
     """
+    # release caches a previous materialize=False run left pinned (its
+    # handles are clobbered below; unpersist is safe — consumers recompute)
+    for h in ("edges", "work"):
+        prev = _last_run_handles.get(h)
+        if prev is not None:
+            prev.unpersist()
+
     ts_col = None
     orphans = None
     if tx is not None and blocks is not None:
@@ -393,9 +402,17 @@ def run_anomaly_analysis(
     if include_iforest:
         params = {"n_estimators": 300, "max_samples": 100_000, "seed": 42}
         params.update(iforest_params or {})
-        model = iforest.fit_iforest(work, zcols, **params)  # action 3
-        work = iforest.score_iforest(work, zcols, model)
-        extra_scores = ["iforest_stats_score_100"]
+        try:
+            model = iforest.fit_iforest(work, zcols, **params)  # action 3
+        except ValueError:
+            # empty non-infra frame (everything pruned/whitelisted):
+            # degrade to the 2-detector mean instead of crashing a
+            # scheduled run over a quiet slice
+            log.warning("isolation forest skipped: no rows to fit on")
+            model = None
+        if model is not None:
+            work = iforest.score_iforest(work, zcols, model)
+            extra_scores = ["iforest_stats_score_100"]
     if materialize:
         # pin the detector-score frame (per-account, small) before the
         # rank layers: each distributed rank fans into 3 plan branches
@@ -404,7 +421,7 @@ def run_anomaly_analysis(
         # ~3^3 times; after this checkpoint every branch reads the
         # materialized rows
         work = work.localCheckpoint(eager=True)
-    if include_iforest:
+    if extra_scores:
         work = scoring.hazen_percentile_agg(
             work, "iforest_score", "iforest_stats_score_100"
         )

@@ -134,8 +134,13 @@ def jaccard_for_pairs(shingle_df: DataFrame, pairs: DataFrame) -> DataFrame:
     sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sa = shingle_df.select(F.col("id").alias("id_a"), "shingle")
     sb = shingle_df.select(F.col("id").alias("id_b"), "shingle")
+    # distinct() guards the contract: a pair appearing k times would
+    # multiply the intersection count by k (jaccard > 1). LSH callers
+    # already emit distinct pairs, so this dedup is a no-op shuffle of
+    # the (small) candidate set, not of shingles.
     inter = (
-        pairs.join(sa, "id_a")
+        pairs.select("id_a", "id_b").distinct()
+        .join(sa, "id_a")
         .join(sb, ["id_b", "shingle"], "left_semi")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -164,14 +164,18 @@ def distributed_avg_rank(
     their competition ranks) — the kernel under Hazen percentiles and
     top-percent labels, safe for CONTINUOUS scores at any scale.
 
-    Plan shape (no single-reducer sort of the data, no driver action):
-      1. bucket boundaries from ONE in-plan percentile_approx aggregate,
-         broadcast-cross-joined back; each row's bucket id is a PURE
-         FUNCTION OF ITS VALUE (ties can never split across buckets, and
-         every plan branch derives the identical id — spark_partition_id
-         after repartitionByRange is NOT branch-stable once AQE coalesces
-         the two shuffle reads differently, which silently dropped rows
-         at 2M-edge scale);
+    Plan shape (no single-reducer sort of the data):
+      1. bucket boundaries from ONE small percentile_approx job whose
+         result is collected (p−1 doubles) and injected as a LITERAL
+         array; each row's bucket id is then a PURE FUNCTION OF ITS VALUE
+         AND THE LITERAL — ties can never split across buckets, and every
+         plan branch computes the identical id unconditionally.
+         (spark_partition_id after repartitionByRange is NOT branch-stable
+         once AQE coalesces the two shuffle reads differently — measured
+         85% silent row loss at 2M-edge scale; an in-plan sketch aggregate
+         is only branch-stable while ReuseExchange dedups it, so the
+         literal closes that hazard class for good at the cost of one
+         boundary job per rank call);
       2. per-bucket rank + tie counts via a Window partitioned by the
          bucket id — one hash exchange + one sort, parallel across
          buckets (both window specs share them: hash(pid) satisfies
@@ -179,30 +183,43 @@ def distributed_avg_rank(
       3. global offsets from a per-bucket count table bounded by
          spark.sql.shuffle.partitions rows — the only Window.orderBy runs
          over THAT table, then broadcast-joins back. Total n comes from
-         the same tiny table, so no count() action either.
+         the same tiny table, so no count() action for n.
     Descending ranks are n + 1 − r_asc (exact for average-rank ties), so
     one ascending kernel serves both directions.
 
     Replaces the round-1 distinct-value + broadcast design, which
     degenerated to a global sort + driver OOM when |distinct| ≈ n
     (continuous Mahalanobis scores) — VERDICT r1 "What's wrong #1/#2".
-    Rows with a NULL score would drop out of the bucket join (callers
-    na.fill first, as the reference's preprocessing does).
+    NULL scores follow pandas rank(method='average') semantics: they get
+    a NULL rank and are excluded from n.
     """
     spark = df.sparkSession
-    p = max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 1)
-    qs = F.array(*[F.lit(i / p) for i in range(1, p)])
-    bounds = df.agg(
-        F.percentile_approx(col, qs, F.lit(10_000)).alias("__bounds__")
-    )
-    part = (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "__pid__",
-            F.size(F.filter(F.col("__bounds__"), lambda b: b < F.col(col))),
+    try:
+        p = max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 1)
+    except (TypeError, ValueError):  # e.g. the conf is set to "auto"
+        p = 200
+
+    nn = df.filter(F.col(col).isNotNull())
+    if p > 1:
+        row = nn.agg(
+            F.percentile_approx(
+                col, F.array(*[F.lit(i / p) for i in range(1, p)]),
+                F.lit(10_000),
+            ).alias("b")
+        ).collect()[0]
+        bounds = sorted({float(b) for b in (row.b or []) if b is not None})
+    else:
+        bounds = []
+    if bounds:
+        # plain sum of comparisons (not a higher-order filter-lambda:
+        # Catalyst 4.1 miscompiles the captured column reference once the
+        # expression is inlined across the aggregate boundary)
+        pid = sum(
+            ((F.lit(b) < F.col(col)).cast("int") for b in bounds), F.lit(0)
         )
-        .drop("__bounds__")
-    )
+    else:
+        pid = F.lit(0)
+    part = nn.withColumn("__pid__", pid)
     totals = part.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__pc__"))
     w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("__pid__").rowsBetween(
@@ -225,7 +242,15 @@ def distributed_avg_rank(
     rank_expr = (
         F.col("__ar__") if ascending else F.col(n_col) + 1 - F.col("__ar__")
     )
-    return ranked.withColumn(out_col, rank_expr).drop("__ar__")
+    ranked = ranked.withColumn(out_col, rank_expr).drop("__ar__")
+    # pandas-parity null branch: IsNull is scan-pushable, so this reads
+    # nothing when the column has no nulls (the common, na.fill'ed case)
+    null_rows = (
+        df.filter(F.col(col).isNull())
+        .withColumn(out_col, F.lit(None).cast("double"))
+        .withColumn(n_col, F.lit(None).cast("double"))
+    )
+    return ranked.unionByName(null_rows)
 
 
 def hazen_percentile_agg(

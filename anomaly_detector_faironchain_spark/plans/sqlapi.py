@@ -87,6 +87,13 @@ def _eth(x) -> str:
     return f"{int(x) / 1e18:.6f}"
 
 
+def _score1(row: dict, key: str):
+    """Score rounded to 1dp, or None when absent/null (e.g. a pipeline
+    run with include_iforest=False omits the iforest columns)."""
+    v = row.get(key)
+    return round(float(v), 1) if v is not None else None
+
+
 def pack_rules(row: dict, ids=range(1, 7)) -> list[dict]:
     """Triggered-rule list (reference api/utils.py:51-71): one
     {rule, description} entry per H{i}_flag == 1."""
@@ -185,13 +192,13 @@ def address_profile(
             },
         },
         "scores": {
-            "rule_score_100": round(float(r["rule_score_100"]), 1),
-            "mahalanobis_stats_100": round(
-                float(r["mahalanobis_distance_stats_score_100"]), 1),
-            "iforest_stats_100": round(
-                float(r["iforest_stats_score_100"]), 1),
-            "final_score_0_100": round(float(r["final_score_0_100"]), 1),
-            "final_score_top_percent": r["final_score_top_percent_display"],
+            "rule_score_100": _score1(r, "rule_score_100"),
+            "mahalanobis_stats_100": _score1(
+                r, "mahalanobis_distance_stats_score_100"),
+            # None when the pipeline ran with include_iforest=False
+            "iforest_stats_100": _score1(r, "iforest_stats_score_100"),
+            "final_score_0_100": _score1(r, "final_score_0_100"),
+            "final_score_top_percent": r.get("final_score_top_percent_display"),
         },
         "explanations": {
             "rule_ids": [item["rule"] for item in pack_rules(r)],

@@ -125,7 +125,8 @@ def test_scoring_rank_has_no_global_sort_of_data(spark):
         out._jdf.queryExecution(), "simple"
     )
     # the rank windows are partitioned by the value-derived bucket id
-    assert "percentile_approx" in p and "__pid__" in p
+    # (boundary literals collected by a separate tiny job — not in-plan)
+    assert "__pid__" in p
     lines = p.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:

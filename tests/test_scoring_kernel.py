@@ -59,3 +59,45 @@ def test_hazen_and_top_percent_on_continuous_scores(spark):
         pd.Series(vals).rank(method="average", ascending=False) / n * 100.0
     ).round(2)
     np.testing.assert_allclose(t["tp"].to_numpy(), exp_tp.to_numpy(), atol=5e-3)
+
+
+def test_distributed_avg_rank_single_shuffle_partition(spark):
+    # regression: p=1 used to produce an empty bounds array → NULL pid →
+    # every row dropped by the offsets join
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        df = spark.createDataFrame(
+            [(0, 3.0), (1, 1.0), (2, 2.0)], "id long, score double"
+        )
+        out = scoring.distributed_avg_rank(df, "score").orderBy("id").toPandas()
+        assert list(out["__avg_rank__"]) == [3.0, 1.0, 2.0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_distributed_avg_rank_null_scores_pandas_semantics(spark):
+    # nulls get a NULL rank and do not count toward n (pandas rank)
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, None), (2, 3.0), (3, None)], "id long, score double"
+    )
+    out = scoring.distributed_avg_rank(df, "score").orderBy("id").toPandas()
+    assert len(out) == 4
+    assert out.loc[0, "__avg_rank__"] == 2.0 and out.loc[2, "__avg_rank__"] == 1.0
+    assert pd.isna(out.loc[1, "__avg_rank__"]) and pd.isna(out.loc[3, "__avg_rank__"])
+    assert out.loc[0, "__n__"] == 2.0
+
+
+def test_jaccard_duplicate_candidate_pairs_are_deduped(spark):
+    from anomaly_detector_faironchain_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e")], "doc_id long, text string"
+    )
+    sh = dedup.shingles(df, "doc_id", "text", n=2)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 1)], "id_a long, id_b long"  # duplicated
+    )
+    out = dedup.jaccard_for_pairs(sh, pairs).collect()
+    assert len(out) == 1
+    assert abs(out[0].jaccard - 2 / 4) < 1e-12  # {a b, b c} of 3+3 shingles
