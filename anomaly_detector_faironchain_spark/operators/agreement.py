@@ -10,7 +10,7 @@ from a 2x2 confusion count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -44,16 +44,13 @@ def topq_overlap(df: DataFrame, id_col: str, col_a: str, col_b: str,
 
 def spearman(df: DataFrame, col_a: str, col_b: str) -> float:
     """Spearman rho = Pearson correlation of average ranks (pandas
-    rank(method='average') parity via rank + (ties-1)/2)."""
+    rank(method='average') parity). Ranks come from the range-partitioned
+    distributed_avg_rank kernel — no single-reducer Window.orderBy over
+    the score table, so the correlation stays parallel at any row count."""
+    from .scoring import distributed_avg_rank
 
-    def avg_rank(c: str) -> F.Column:
-        w = Window.orderBy(F.col(c).asc())
-        ties = Window.partitionBy(c)
-        return F.rank().over(w) + (F.count(F.lit(1)).over(ties) - 1) / 2.0
-
-    ranked = df.select(
-        avg_rank(col_a).alias("ra"), avg_rank(col_b).alias("rb")
-    )
+    ranked = distributed_avg_rank(df, col_a, out_col="ra", n_col="__na__")
+    ranked = distributed_avg_rank(ranked, col_b, out_col="rb", n_col="__nb__")
     return float(ranked.agg(F.corr("ra", "rb")).collect()[0][0])
 
 

@@ -61,13 +61,18 @@ def top_failing_partitions(verdicts: DataFrame, n: int = 100) -> DataFrame:
         F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
         F.sum("n_violations").alias("n_violations"),
     )
-    w = Window.orderBy(
+    order = [
         F.col("n_failed").desc(), F.col("n_violations").desc(),
         F.col("partition_id").asc(),
-    )
+    ]
+    # distributed top-N first (TakeOrderedAndProject: per-partition heads
+    # merged on the driver) so the ranking window only ever sees <= n rows
+    # — a global row_number over millions of partition verdicts would
+    # otherwise serialize on one reducer.
+    top = agg.orderBy(*order).limit(n)
+    w = Window.orderBy(*order)
     return (
-        agg.withColumn("ranking", F.row_number().over(w))
-        .filter(F.col("ranking") <= n)
+        top.withColumn("ranking", F.row_number().over(w))
         .select("ranking", "table", "partition_id", "n_failed", "n_violations")
     )
 

@@ -385,6 +385,76 @@ FROM rk WHERE r <= 3
 """
 
 
+def _emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted near-duplicates at vec_id+100000: the copy is
+    v + 0.05·reverse(v) (cos ≈ 0.997 against its source, while the max
+    natural pair cosine in the corpus is ~0.51), so a 0.9 threshold
+    recovers exactly the planted pairs that survive LSH bucketing."""
+    emb = _emb(spark, sf_dir)
+    orig = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            "embedding", F.reverse("embedding"),
+            lambda x, y: x.cast("double") + F.lit(0.05) * y.cast("double"),
+        ).alias("embedding"),
+    )
+    return orig.unionByName(pert)
+
+
+def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _emb_augmented(spark, sf_dir)
+    out = similarity.embedding_neardup_pairs(
+        aug, "vec_id", "embedding", threshold=0.9, n_planes=8
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cos",
+    )
+
+
+ORACLE_EMBEDDING_COSINE_NEARDUP = f"""
+WITH aug AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id,
+         list_transform(list_zip(embedding, list_reverse(embedding)),
+                        s -> CAST(s[1] AS DOUBLE) + 0.05 * CAST(s[2] AS DOUBLE)) AS vec
+  FROM embeddings
+),
+comp AS (
+  SELECT p, d,
+         CASE WHEN substr(md5(p || '_' || d), 1, 1) IN ('0','1','2','3','4','5','6','7')
+              THEN 1.0 ELSE -1.0 END AS c
+  FROM generate_series(0, 7) t(p), generate_series(0, 63) u(d)
+),
+proj AS (
+  SELECT a.id, comp.p, SUM(comp.c * a.vec[comp.d + 1]) AS s
+  FROM aug a, comp GROUP BY 1, 2
+),
+buckets AS (
+  SELECT id, CAST(SUM(CASE WHEN s >= 0 THEN POW(2.0, p) ELSE 0.0 END) AS INT) AS bucket
+  FROM proj GROUP BY 1
+),
+base AS (
+  SELECT a.id, a.vec, b.bucket FROM aug a JOIN buckets b ON b.id = a.id
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(ROUND({_DOT_SQL.format(a='a.vec', b='b.vec')}
+              / ({_NORM_SQL.format(v='a.vec')} * {_NORM_SQL.format(v='b.vec')}), 6) AS DOUBLE) AS cos
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cos
+FROM pairs WHERE cos >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -513,6 +583,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "lsh_buckets": q_lsh_buckets,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "embedding_cosine_neardup": q_embedding_cosine_neardup,
     "token_stats": q_token_stats,
     "langid": q_langid,
     "fingerprints": q_fingerprints,
@@ -528,6 +599,7 @@ ORACLES = {
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "lsh_buckets": ORACLE_LSH_BUCKETS,
     "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,
+    "embedding_cosine_neardup": ORACLE_EMBEDDING_COSINE_NEARDUP,
     "token_stats": ORACLE_TOKEN_STATS,
     "langid": _langid_oracle(),
     "fingerprints": ORACLE_FINGERPRINTS,
