@@ -141,6 +141,30 @@ def test_scoring_rank_has_no_global_sort_of_data(spark):
             )
 
 
+def test_top_failing_partitions_uses_distributed_topn(spark):
+    # the /v1/top ranking must not row_number() the full per-partition
+    # verdict table through one reducer: a TakeOrderedAndProject (per-
+    # partition heads merged on the driver) bounds the window input to n.
+    from anomaly_detector_faironchain_spark.plans.sqlapi import (
+        top_failing_partitions,
+    )
+
+    verdicts = spark.range(0, 5000).select(
+        F.lit("t").alias("table"),
+        F.concat(F.lit("p"), (F.col("id") % 997)).alias("partition_id"),
+        (F.col("id") % 3 == 0).alias("passed"),
+        (F.col("id") % 11).cast("long").alias("n_violations"),
+    )
+    out = top_failing_partitions(verdicts, n=10)
+    p = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "TakeOrderedAndProject" in p, p
+    assert out.count() == 10
+    first = out.orderBy("ranking").first()
+    assert first.ranking == 1
+
+
 @pytest.mark.parametrize("n_constraints", [2, 6])
 def test_scan_count_constant_in_constraint_count(spark, n_constraints):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
