@@ -109,10 +109,15 @@ def triangle_features(edges: DataFrame) -> DataFrame:
                   F.col("amount").alias("am2"), F.col("cnt").alias("c2"))
     e3 = e.select(F.col("src").alias("c"), F.col("dst").alias("a"),
                   F.col("amount").alias("am3"), F.col("cnt").alias("c3"))
+    # orientation filters applied EARLY, by hand: Catalyst pushes a<b into
+    # e1 but does not infer a<c onto e3 (dst<src) nor onto the e1⋈e2
+    # intermediate, so without these the full wedge set is shuffled into
+    # the second join — 2× the exchange volume on the heaviest stage
     tri = (
-        e1.join(e2, "b")
-        .join(e3, ["c", "a"])
-        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        e1.filter(F.col("a") < F.col("b"))
+        .join(e2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .join(e3.filter(F.col("a") < F.col("c")), ["c", "a"])
         .select(
             "a", "b", "c",
             (F.col("am1") + F.col("am2") + F.col("am3")).alias("tri_amount"),
