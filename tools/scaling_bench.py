@@ -72,7 +72,7 @@ print(json.dumps({"cores": cores, "rows": rows, "sec": round(best, 3),
 """
 
 
-def run_level(cores: int) -> dict:
+def run_level(cores: int, retries: int = 1) -> dict:
     # taskset pins the whole JVM (executor threads AND GC/IO/codegen
     # threads) to `cores` physical CPUs — an unpinned local[8] on a
     # 32-core box silently borrows extra cores for GC and shuffle IO,
@@ -80,10 +80,19 @@ def run_level(cores: int) -> dict:
     cmd = ["taskset", "-c", f"0-{cores - 1}",
            sys.executable, "-c", WORKER, str(cores), str(ROWS),
            str(LEN_EXP[0]), str(LEN_EXP[1])]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, check=True, cwd="/root/repo",
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    last_err = None
+    for attempt in range(retries + 1):
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd="/root/repo",
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        # the sandbox host has transient degradation episodes that can
+        # kill a JVM mid-run; surface the cause and retry once
+        last_err = out.stderr[-2000:]
+        print(f"level {cores} attempt {attempt} failed:\n{last_err}",
+              file=sys.stderr)
+    raise RuntimeError(f"level {cores} failed after {retries + 1} attempts")
 
 
 def main() -> None:
