@@ -13,12 +13,12 @@ from __future__ import annotations
 
 import argparse
 import json
-import re
 import sys
 
 from pyspark.sql import SparkSession
 
 from anomaly_detector_faironchain_spark.plans.checkpoint import run_with_checkpoint
+from anomaly_detector_faironchain_spark.sources import load_table
 from anomaly_detector_faironchain_spark.specs import north_rule_spec
 
 
@@ -31,32 +31,21 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--ref", action="append", default=[],
                    metavar="NAME=PATH", help="referenced dim tables")
     v.add_argument("--partition-col", default="bucket")
-    v.add_argument("--format", default="parquet", choices=["parquet", "csv"],
-                   help="input format (csv reads with header + inferSchema)")
+    v.add_argument("--format", default="parquet",
+                   choices=["parquet", "csv", "iceberg", "table"],
+                   help="default input format; per-ref `fmt:loc` prefixes "
+                        "override (iceberg:/table: read catalog tables)")
     v.add_argument("--violation-limit", type=int, default=1000,
                    help="max materialized violation rows per (partition, check)")
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("adfs-validate").getOrCreate()
 
-    def load(path: str, fmt: str):
-        # refs may override the table format with a "csv:" / "parquet:" prefix;
-        # only known formats are stripped — URI schemes (s3://, hdfs://,
-        # file:/, abfss://) pass through as part of the path
-        m = re.match(r"^(csv|parquet):(.*)$", path)
-        if m:
-            fmt, path = m.group(1), m.group(2)
-        if fmt == "csv":
-            return spark.read.option("header", True).option(
-                "inferSchema", True
-            ).csv(path)
-        return spark.read.parquet(path)
-
-    df = load(args.input, args.format)
+    df = load_table(spark, args.input, args.format)
     refs = {}
     for spec_str in args.ref:
         name, path = spec_str.split("=", 1)
-        refs[name] = load(path, args.format)
+        refs[name] = load_table(spark, path, args.format)
     spec = north_rule_spec(partition_col=args.partition_col)
     result = run_with_checkpoint(df, spec, args.out, refs=refs,
                                  input_path=args.input,

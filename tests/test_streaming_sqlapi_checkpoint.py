@@ -191,3 +191,33 @@ def test_v1_address_response_contract_matches_reference(spark):
     assert top[0] == {"ranking": 1, "address": "0xAbC1",
                       "final_score_0_100": 71.0}
     assert [t["ranking"] for t in top] == [1, 2]
+
+
+def test_source_adapter_resolves_refs(spark, tmp_path):
+    from anomaly_detector_faironchain_spark.sources import load_table
+
+    df = spark.range(5).withColumnRenamed("id", "x")
+    pq = str(tmp_path / "t.parquet")
+    df.write.parquet(pq)
+    csv = str(tmp_path / "t.csv")
+    df.write.option("header", True).csv(csv)
+
+    assert load_table(spark, pq).count() == 5                   # bare path
+    assert load_table(spark, f"parquet:{pq}").count() == 5      # prefixed
+    assert load_table(spark, f"csv:{csv}").count() == 5
+    assert load_table(spark, csv, default_format="csv").count() == 5
+
+    df.createOrReplaceTempView("adapter_view")
+    assert load_table(spark, "table:adapter_view").count() == 5
+
+    # URI schemes are not formats: the scheme must survive resolution
+    with pytest.raises(Exception) as ei:
+        load_table(spark, f"file:{pq}x_missing")
+    assert "x_missing" in str(ei.value)
+
+    # iceberg: without the runtime jar → Spark's own error, annotated
+    # with the --packages hint (the production path needs the catalog)
+    with pytest.raises(Exception) as ei:
+        load_table(spark, "iceberg:lake.db.tbl")
+    notes = getattr(ei.value, "__notes__", [])
+    assert any("iceberg-spark-runtime" in n for n in notes)
