@@ -555,6 +555,64 @@ FROM t
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation: exact dedup → lang-ID → quality/length gate over
+    the duplicated corpus (500 originals + 500 exact copies)."""
+    from anomaly_detector_faironchain_spark.operators import curation
+
+    aug = _augmented(spark, sf_dir, perturb=False)
+    out = curation.curate_documents(
+        aug, "doc_id", "text", min_tokens=5, max_tokens=100_000,
+        min_quality=50.0,
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "predicted_lang", "n_tokens", "quality",
+    )
+
+
+def _curation_oracle() -> str:
+    cnt = {
+        lang: (f"len(list_filter(toks, x -> list_contains("
+               f"[{', '.join(repr(m) for m in markers)}], x)))")
+        for lang, markers in text_ops.LANG_MARKERS
+    }
+    best = f"GREATEST({', '.join(f'c_{k}' for k in cnt)})"
+    case = " ".join(
+        f"WHEN best > 0 AND c_{lang} = best THEN '{lang}'" for lang in cnt
+    )
+    sel = ", ".join(f"{e} AS c_{k}" for k, e in cnt.items())
+    return f"""
+WITH aug AS ({_AUG_SQL[False]}),
+h AS (SELECT doc_id AS id, text, md5(text) AS content_md5 FROM aug),
+k AS (SELECT content_md5, MIN(id) AS keeper_id FROM h GROUP BY 1),
+kept AS (SELECT h.id, h.text FROM h JOIN k USING (content_md5)
+         WHERE h.id = k.keeper_id),
+t AS (SELECT id, text, string_split_regex(trim(text), '\\s+') AS toks FROM kept),
+m AS (
+  SELECT id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    length(text) AS n_chars,
+    len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x))) AS stop_in,
+    length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
+    {sel}
+  FROM t
+),
+b AS (
+  SELECT *, {best} AS best,
+    CAST(ROUND(100.0 * (0.5 * (alpha_chars * 1.0 / n_chars)
+         + 0.5 * LEAST((stop_in * 1.0 / n_tokens) * 5.0, 1.0)), 4) AS DOUBLE)
+      AS quality
+  FROM m
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CASE {case} ELSE 'und' END AS predicted_lang,
+       n_tokens, quality
+FROM b
+WHERE n_tokens BETWEEN 5 AND 100000 AND quality >= 50.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (Arrow-batched binary metadata)
 # ---------------------------------------------------------------------------
@@ -588,6 +646,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprints": q_fingerprints,
     "binary_metadata": q_binary_metadata,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES = {
@@ -604,4 +663,5 @@ ORACLES = {
     "langid": _langid_oracle(),
     "fingerprints": ORACLE_FINGERPRINTS,
     "binary_metadata": ORACLE_BINARY_METADATA,
+    "curation_pipeline": _curation_oracle(),
 }
