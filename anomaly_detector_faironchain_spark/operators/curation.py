@@ -3,11 +3,12 @@ sequence — exact dedup → language ID → quality/length gate — composed
 from the individual operators as ONE lazy DataFrame plan.
 
 This is the composition a 100 TB curation job actually runs: dedup
-shuffles only (id, md5) pairs, the text statistics are codegen'd column
-expressions over the surviving keepers, and the final gate is a plain
-filter — so the whole pipeline is two shuffles (dedup keeper group-by +
-the id-keyed stat joins) regardless of corpus size, and document bodies
-are never moved except by the initial scan.
+shuffles only (id, md5) pairs, every text statistic (token counts,
+quality, language ID) is evaluated in ONE codegen'd projection over the
+surviving keepers, and the final gate is a plain filter. Document bodies
+never enter an exchange — the only shuffled rows are (id, md5) for the
+keeper group-by and bare ids for the keeper semi-join (asserted by
+tests/test_plan_shape.py::test_curation_pipeline_never_shuffles_bodies).
 """
 
 from __future__ import annotations
@@ -38,15 +39,18 @@ def curate_documents(
         ~F.col("is_dup")
     ).select("id")
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
-    kept = base.join(keepers, "id")
-    stats = text_ops.token_stats(kept, "id", "__text__")
-    lang = text_ops.langid(kept, "id", "__text__")
-    return (
-        stats.join(lang, "id")
-        .filter(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("n_tokens") <= max_tokens)
-            & (F.col("quality") >= min_quality)
-        )
-        .select("id", "predicted_lang", "n_tokens", "quality")
+    kept = base.join(keepers, "id", "left_semi")
+    # every per-row statistic in ONE projection (no stats⋈langid re-join —
+    # that shape re-scanned the source per operator branch)
+    stat_cols = text_ops.token_stat_cols("__text__")
+    scored = kept.select(
+        "id",
+        stat_cols["n_tokens"].alias("n_tokens"),
+        stat_cols["quality"].alias("quality"),
+        text_ops.langid_col("__text__").alias("predicted_lang"),
     )
+    return scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality") >= min_quality)
+    ).select("id", "predicted_lang", "n_tokens", "quality")

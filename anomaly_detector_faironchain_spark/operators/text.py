@@ -28,14 +28,11 @@ LANG_MARKERS = (
 ROLLING_MOD = 1_000_000_007
 
 
-def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document curation stats: token count, char count, mean token
-    length, alpha ratio, stopword ratio, and a 0-100 quality score.
-
-    quality = 100·(0.5·alpha_ratio + 0.5·min(5·stop_ratio, 1)): documents
-    made of alphabetic text with a natural-language stopword rate score
-    high; symbol soup and keyword lists score low.
-    """
+def token_stat_cols(text_col: str) -> dict:
+    """The per-row token-statistics expressions, keyed by output column
+    name — exposed so composed pipelines (operators/curation.py) can
+    evaluate every stat in ONE projection instead of joining the
+    operator outputs back together on id."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -49,20 +46,33 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     quality = 100.0 * (
         0.5 * alpha_ratio + 0.5 * F.least(stop_ratio * 5.0, F.lit(1.0))
     )
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "n_chars": n_chars.cast("long"),
+        "avg_token_len": F.round(tok_len_sum / n_tokens, 4).cast("double"),
+        "alpha_ratio": F.round(alpha_ratio, 4).cast("double"),
+        "stop_ratio": F.round(stop_ratio, 4).cast("double"),
+        "quality": F.round(quality, 4).cast("double"),
+    }
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document curation stats: token count, char count, mean token
+    length, alpha ratio, stopword ratio, and a 0-100 quality score.
+
+    quality = 100·(0.5·alpha_ratio + 0.5·min(5·stop_ratio, 1)): documents
+    made of alphabetic text with a natural-language stopword rate score
+    high; symbol soup and keyword lists score low.
+    """
+    cols = token_stat_cols(text_col)
     return df.select(
         F.col(id_col).alias("id"),
-        n_tokens.cast("long").alias("n_tokens"),
-        n_chars.cast("long").alias("n_chars"),
-        F.round(tok_len_sum / n_tokens, 4).cast("double").alias("avg_token_len"),
-        F.round(alpha_ratio, 4).cast("double").alias("alpha_ratio"),
-        F.round(stop_ratio, 4).cast("double").alias("stop_ratio"),
-        F.round(quality, 4).cast("double").alias("quality"),
+        *[e.alias(n) for n, e in cols.items()],
     )
 
 
-def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keyword-marker language ID: predicted = argmax of marker-token
-    counts, first-declared language wins ties, 'und' when all zero."""
+def langid_col(text_col: str):
+    """The language-ID expression (see langid) as a single column."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     counts = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
@@ -73,8 +83,14 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # reversed so the FIRST declared language wins ties after the fold
     for lang, _ in reversed(LANG_MARKERS):
         pred = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keyword-marker language ID: predicted = argmax of marker-token
+    counts, first-declared language wins ties, 'und' when all zero."""
     return df.select(
-        F.col(id_col).alias("id"), pred.alias("predicted_lang")
+        F.col(id_col).alias("id"), langid_col(text_col).alias("predicted_lang")
     )
 
 

@@ -165,6 +165,32 @@ def test_top_failing_partitions_uses_distributed_topn(spark):
     assert first.ranking == 1
 
 
+def test_curation_pipeline_never_shuffles_bodies(spark):
+    # the composed curation pipeline may shuffle (id, md5) pairs and bare
+    # ids — never document bodies. At 100 TB the text column dominates
+    # row width ~100:1, so a body leaking into any Exchange turns a
+    # metadata shuffle into a full-corpus shuffle.
+    from anomaly_detector_faironchain_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = curation.curate_documents(docs, "doc_id", "text")
+    p = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    lines = p.splitlines()
+    # formatted explain lists each node as "(n) Exchange" followed by an
+    # "Input [k]: [cols...]" line
+    for i, ln in enumerate(lines):
+        if ") Exchange" in ln:
+            for nxt in lines[i + 1:i + 4]:
+                if nxt.strip().startswith("Input"):
+                    assert "text#" not in nxt and "__text__" not in nxt, (
+                        "document body column crossed an exchange:\n" + p
+                    )
+                    break
+    assert out.count() > 0
+
+
 @pytest.mark.parametrize("n_constraints", [2, 6])
 def test_scan_count_constant_in_constraint_count(spark, n_constraints):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
