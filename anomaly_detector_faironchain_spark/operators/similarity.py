@@ -157,19 +157,62 @@ def lsh_ann_topk(
     ).drop("rk")
 
 
+def lsh_buckets_multi(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    n_planes: int = 8, n_tables: int = 1,
+) -> DataFrame:
+    """(id, tbl, bucket): n_tables independent hyperplane tables — table
+    t uses global plane ids [t·n_planes, (t+1)·n_planes) so every table's
+    planes are distinct but still derived from the same deterministic
+    md5 scheme (ANSI-SQL-reproducible). OR-amplification: a pair is a
+    candidate if it collides in ANY table, lifting recall from r to
+    1−(1−r)^T at T× the bucketing cost."""
+    comp = hyperplane_components(corpus.sparkSession, n_planes * n_tables)
+    exploded = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    )
+    proj = (
+        exploded.join(F.broadcast(comp), "d")
+        .groupBy("id", "p")
+        .agg(F.sum(F.col("c") * F.col("x").cast("double")).alias("s"))
+    )
+    tbl = F.floor(F.col("p") / n_planes).cast("int")
+    bit = (F.col("p") % n_planes).cast("double")
+    bucket = F.sum(
+        F.when(F.col("s") >= 0, F.pow(F.lit(2.0), bit)).otherwise(F.lit(0.0))
+    ).cast("int")
+    return (
+        proj.withColumn("tbl", tbl)
+        .groupBy("id", "tbl")
+        .agg(bucket.alias("bucket"))
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame, id_col: str, vec_col: str,
-    threshold: float = 0.97, n_planes: int = 8,
+    threshold: float = 0.97, n_planes: int = 8, n_tables: int = 1,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed: pairs are
-    generated only within buckets (recall grows with fewer planes /
-    multiple tables), then exactly re-scored. (id_a, id_b, cos)."""
-    buckets = lsh_buckets(corpus, id_col, vec_col, n_planes)
-    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")) \
-        .join(buckets, "id")
-    a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
-    b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed: candidate
+    pairs are generated within buckets on IDS ONLY (vectors never ride the
+    pair join), de-duplicated across the n_tables hash tables, then each
+    surviving candidate is exactly re-scored once. (id_a, id_b, cos)."""
+    buckets = lsh_buckets_multi(corpus, id_col, vec_col, n_planes, n_tables)
+    a = buckets.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    pairs = (
+        cand.join(vecs.select(F.col("id").alias("id_a"),
+                              F.col("vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"),
+                          F.col("vec").alias("vb")), "id_b")
+    )
     scored = pairs.select(
         "id_a", "id_b",
         F.round(

@@ -417,6 +417,68 @@ def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_cosine_neardup_2t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified variant: 2 independent hash tables — every pair the
+    1-table query finds plus pairs recovered by the second table."""
+    aug = _emb_augmented(spark, sf_dir)
+    out = similarity.embedding_neardup_pairs(
+        aug, "vec_id", "embedding", threshold=0.9, n_planes=8, n_tables=2
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cos",
+    )
+
+
+ORACLE_EMBEDDING_COSINE_NEARDUP_2T = """
+WITH aug AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id,
+         list_transform(list_zip(embedding, list_reverse(embedding)),
+                        s -> CAST(s[1] AS DOUBLE) + 0.05 * CAST(s[2] AS DOUBLE)) AS vec
+  FROM embeddings
+),
+comp AS (
+  SELECT p, d,
+         CASE WHEN substr(md5(p || '_' || d), 1, 1) IN ('0','1','2','3','4','5','6','7')
+              THEN 1.0 ELSE -1.0 END AS c
+  FROM generate_series(0, 15) t(p), generate_series(0, 63) u(d)
+),
+proj AS (
+  SELECT a.id, comp.p, SUM(comp.c * a.vec[comp.d + 1]) AS s
+  FROM aug a, comp GROUP BY 1, 2
+),
+buckets AS (
+  SELECT id, CAST(p // 8 AS INT) AS tbl,
+         CAST(SUM(CASE WHEN s >= 0 THEN POW(2.0, p % 8) ELSE 0.0 END) AS INT) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.id < b.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(ROUND(
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(va.vec, vb.vec),
+               s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(va.vec, x -> x * x)), (x, y) -> x + y))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(vb.vec, x -> x * x)), (x, y) -> x + y))), 6)
+           AS DOUBLE) AS cos
+  FROM cand c JOIN aug va ON va.id = c.id_a JOIN aug vb ON vb.id = c.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cos
+FROM pairs WHERE cos >= 0.9
+"""
+
+
 ORACLE_EMBEDDING_COSINE_NEARDUP = f"""
 WITH aug AS (
   SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -642,6 +704,7 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "lsh_ann_topk": q_lsh_ann_topk,
     "embedding_cosine_neardup": q_embedding_cosine_neardup,
+    "embedding_cosine_neardup_2t": q_embedding_cosine_neardup_2t,
     "token_stats": q_token_stats,
     "langid": q_langid,
     "fingerprints": q_fingerprints,
@@ -659,6 +722,7 @@ ORACLES = {
     "lsh_buckets": ORACLE_LSH_BUCKETS,
     "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,
     "embedding_cosine_neardup": ORACLE_EMBEDDING_COSINE_NEARDUP,
+    "embedding_cosine_neardup_2t": ORACLE_EMBEDDING_COSINE_NEARDUP_2T,
     "token_stats": ORACLE_TOKEN_STATS,
     "langid": _langid_oracle(),
     "fingerprints": ORACLE_FINGERPRINTS,

@@ -168,3 +168,39 @@ def test_simhash64_identity_and_hamming(spark, docs):
     pairs = a.crossJoin(b).filter(F.col("id_a") + 10_000 == F.col("id_b"))
     ham = pairs.select(dedup.hamming64(F.col("ha"), F.col("hb")).alias("h"))
     assert ham.agg(F.max("h")).collect()[0][0] == 0
+
+
+def test_multi_table_lsh_amplifies_neardup_recall(spark):
+    # plant near-duplicates (v + 0.05*reverse(v), cos ~0.997) of every
+    # vector; 1-table LSH misses the pairs whose perturbation flips a
+    # plane sign, OR-amplification with a second table recovers a
+    # superset. Both variants must only return true pairs (cos >= 0.9 is
+    # exact after the rescore, so precision is 1 by construction).
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            "embedding", F.reverse("embedding"),
+            lambda x, y: x.cast("double") + F.lit(0.05) * y.cast("double"),
+        ).alias("embedding"),
+    )
+    orig = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    aug = orig.unionByName(pert)
+
+    def pairs(n_tables):
+        rows = similarity.embedding_neardup_pairs(
+            aug, "vec_id", "embedding", threshold=0.9,
+            n_planes=8, n_tables=n_tables,
+        ).collect()
+        return {(r.id_a, r.id_b) for r in rows}
+
+    p1, p2 = pairs(1), pairs(2)
+    assert p1 <= p2, "2-table candidates must be a superset of 1-table"
+    assert len(p2) > len(p1), "second table should recover missed pairs"
+    n = emb.count()
+    # every found pair is a planted (v, v+100000) pair at this threshold
+    assert all(b == a + 100000 for a, b in p2)
+    assert len(p2) <= n
