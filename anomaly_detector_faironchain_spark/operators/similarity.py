@@ -192,12 +192,27 @@ def lsh_buckets_multi(
 def embedding_neardup_pairs(
     corpus: DataFrame, id_col: str, vec_col: str,
     threshold: float = 0.97, n_planes: int = 8, n_tables: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed: candidate
     pairs are generated within buckets on IDS ONLY (vectors never ride the
     pair join), de-duplicated across the n_tables hash tables, then each
-    surviving candidate is exactly re-scored once. (id_a, id_b, cos)."""
+    surviving candidate is exactly re-scored once. (id_a, id_b, cos).
+
+    max_bucket caps the per-(table, bucket) population before the pair
+    join — a degenerate bucket (e.g. all-zero embeddings all hash to one
+    code) otherwise fans out quadratically. Capped buckets keep their
+    max_bucket smallest ids (deterministic), trading recall inside the
+    pathological bucket for a bounded plan; same design as the dedup
+    LSH banding cap."""
     buckets = lsh_buckets_multi(corpus, id_col, vec_col, n_planes, n_tables)
+    if max_bucket is not None:
+        w = Window.partitionBy("tbl", "bucket").orderBy("id")
+        buckets = (
+            buckets.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= max_bucket)
+            .drop("__rn__")
+        )
     a = buckets.select(F.col("id").alias("id_a"), "tbl", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "tbl", "bucket")
     cand = (

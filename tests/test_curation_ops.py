@@ -204,3 +204,23 @@ def test_multi_table_lsh_amplifies_neardup_recall(spark):
     # every found pair is a planted (v, v+100000) pair at this threshold
     assert all(b == a + 100000 for a, b in p2)
     assert len(p2) <= n
+
+
+def test_embedding_neardup_bucket_cap_bounds_fanout(spark):
+    # degenerate corpus: every vector identical → one bucket per table;
+    # uncapped would be n*(n-1)/2 pairs, the cap bounds it to
+    # max_bucket*(max_bucket-1)/2 per table
+    n = 200
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+    )
+    capped = similarity.embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.5, n_planes=4,
+        n_tables=2, max_bucket=10,
+    )
+    assert capped.count() == 10 * 9 // 2  # both tables keep the same ids
+    full = similarity.embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.5, n_planes=4, n_tables=1,
+    )
+    assert full.count() == n * (n - 1) // 2
