@@ -221,3 +221,44 @@ def test_source_adapter_resolves_refs(spark, tmp_path):
         load_table(spark, "iceberg:lake.db.tbl")
     notes = getattr(ei.value, "__notes__", [])
     assert any("iceberg-spark-runtime" in n for n in notes)
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    # two arrival batches: originals first, exact copies (doc_id+100000)
+    # second → the state-store dedup keeps the originals, matching the
+    # batch keeper rule (min id); the gate is the same projection, so the
+    # curated sets must be identical
+    from anomaly_detector_faironchain_spark.operators import curation
+    from anomaly_detector_faironchain_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    indir = tmp_path / "in"
+    docs.write.parquet(str(indir / "b0"))
+    docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).write.parquet(str(indir / "b1"))
+
+    out = tmp_path / "out"
+    q = curate_stream(
+        spark, f"{indir}/*", docs.schema, str(out),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # keeper IDENTITY differs by arrival/batching order (streaming keeps
+    # first-seen, batch keeps min id) — compare modulo the +100000 copy
+    # offset, which collapses a keeper and its exact copy to one key
+    got = {
+        (r.id % 100000, r.predicted_lang, r.n_tokens, r.quality)
+        for r in spark.read.parquet(str(out / "curated")).collect()
+    }
+    batch_input = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    want = {
+        (r.id % 100000, r.predicted_lang, r.n_tokens, r.quality)
+        for r in curation.curate_documents(batch_input, "doc_id", "text").collect()
+    }
+    assert got == want and len(got) > 0
