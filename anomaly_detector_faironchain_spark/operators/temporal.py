@@ -1,0 +1,201 @@
+"""Temporal joins the built-in operators don't express directly:
+
+- ``asof_join`` — for every left row, the latest right row with
+  ``right.ts <= left.ts`` per key (pandas ``merge_asof`` / DuckDB
+  ``ASOF JOIN`` semantics), built as ONE union + ONE keyed window:
+  no range explosion, no per-key cross product, one shuffle total.
+- ``interval_join`` — left rows matched to right rows whose timestamp
+  falls in ``(left.ts + lower, left.ts + upper]``, built as a bucketed
+  equi-join: time is floored to buckets of the interval width so each
+  left row probes at most 3 buckets, keeping the candidate set
+  time-local instead of fanning out a whole key's history.
+
+Why not a plain inequality join: Catalyst turns a pure range predicate
+into BroadcastNestedLoopJoin (O(n·m) per key pair), and even with an
+equi-key a hot key (one user with 10^6 events) produces 10^12
+candidate pairs before the range filter. The union-window as-of is
+O(n log n) per key partition-locally; the bucketed interval join bounds
+candidates to rows within ~2 interval-widths of each other.
+
+These generalize the reference's stage-wise timestamp attachment
+(reference: graph/construction/load_clean_edgelist.py:41-54 joins
+transfers to the block table on exact ids; a production chain feed needs
+the nearest-block-at-or-before semantics implemented here).
+
+Scale notes (100 TB):
+- asof_join shuffles left+right ONCE on the key columns; per-key state
+  is a sort within the partition (Spark's window sort spills to disk).
+  Skewed keys serialize within the key — unavoidable for as-of
+  semantics (the match depends on every earlier right row), mitigated
+  upstream by deduplicating the right side per (key, ts).
+- interval_join shuffles on (key, bucket); a hot key is spread across
+  its time buckets, so a single account's years of history never land
+  in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "interval_join"]
+
+
+def _epoch_seconds(col: F.Column, dtype: str) -> F.Column:
+    """Seconds-since-epoch as double, microsecond-exact, for numeric or
+    TIMESTAMP/TIMESTAMP_NTZ columns (Spark 4 forbids a direct
+    timestamp→double cast). NTZ wall-clock is interpreted in the session
+    time zone — session.py pins it to UTC, the same convention DuckDB's
+    epoch() uses for naive timestamps."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp_ltz")) / F.lit(1_000_000.0)
+    return col.cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    value_cols: list[str] | None = None,
+    tolerance: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: attach, to every left row, ``value_cols``
+    from the latest right row with ``right.ts <= left.ts`` (inclusive)
+    sharing the ``on`` keys, plus the matched timestamp as
+    ``{left_ts}{suffix}``.
+
+    Timestamps may be numeric or TIMESTAMP (compared with plain
+    ordering; ``tolerance`` — max allowed left.ts − right.ts — is in
+    seconds when the column is a TIMESTAMP).
+
+    Determinism: if the right side has several rows at the same
+    (key, ts) the column values of the LAST one in an unspecified order
+    would win; deduplicate the right side per (key, ts) first (e.g.
+    ``groupBy(key, ts).agg(max(...))``) when exact reproducibility is
+    required — the oracle-verified suite query does exactly that.
+
+    Plan shape: union → single hash-partitioned window (partitionBy keys,
+    orderBy ts with right rows sorting before left rows at equal ts so
+    the inclusive match holds) → filter back to left rows. One Exchange.
+    """
+    right_ts = right_ts or left_ts
+    value_cols = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+    ts_t = dict(left.dtypes)[left_ts]
+
+    matched_ts = f"{left_ts}{suffix}"
+    carried = {c: f"{c}{suffix}" if c in left.columns else c for c in value_cols}
+
+    l_side = left.select(
+        "*",
+        F.lit(1).alias("__is_left__"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(carried[c])
+          for c in value_cols],
+        F.lit(None).cast(ts_t).alias(matched_ts),
+    )
+    left_only = [c for c in left.columns if c not in set(on) | {left_ts}]
+    r_side = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).cast(ts_t).alias(left_ts),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes
+          if c in left_only],
+        F.lit(0).alias("__is_left__"),
+        *[F.col(c).alias(carried[c]) for c in value_cols],
+        F.col(right_ts).cast(ts_t).alias(matched_ts),
+    ).select(*l_side.columns)  # align union column order
+
+    # right rows (__is_left__=0) sort before left rows at equal ts →
+    # inclusive <= match; running last(ignorenulls) carries them forward.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(left_ts).asc(), F.col("__is_left__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_side.unionByName(r_side).select(
+        "*",
+        *[F.last(carried[c], ignorenulls=True).over(w).alias(f"__f_{carried[c]}")
+          for c in value_cols],
+        F.last(matched_ts, ignorenulls=True).over(w).alias(f"__f_{matched_ts}"),
+    )
+
+    out = filled.filter(F.col("__is_left__") == 1)
+    in_tol = F.lit(True)
+    if tolerance is not None:
+        gap = _epoch_seconds(F.col(left_ts), ts_t) - _epoch_seconds(
+            F.col(f"__f_{matched_ts}"), ts_t
+        )
+        in_tol = gap <= F.lit(float(tolerance))
+    keep = [c for c in left.columns]
+    proj = [F.col(c) for c in keep]
+    for c in value_cols:
+        proj.append(
+            F.when(in_tol, F.col(f"__f_{carried[c]}")).alias(carried[c])
+        )
+    proj.append(F.when(in_tol, F.col(f"__f_{matched_ts}")).alias(matched_ts))
+    return out.select(*proj)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: float,
+    upper: float,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Candidate-bounded interval join: rows of ``right`` whose timestamp
+    lies in ``(left.ts + lower, left.ts + upper]`` for the same ``on``
+    keys (strict lower / inclusive upper — the windowed-follow-up shape;
+    seconds when the ts columns are TIMESTAMPs).
+
+    Returns left columns + right columns (right ts aliased ``__r_ts__``
+    when names collide) as an INNER match set; aggregate or left-join it
+    back for per-left-row counts.
+
+    Bucketing: both sides are floored to buckets of ``bucket_width``
+    (default: the interval span ``upper - lower``); each left row probes
+    the buckets its interval can overlap (≤ span/width + 2 buckets via
+    sequence()), the join is a pure equi-join on (keys…, bucket) —
+    hash-join, never BroadcastNestedLoopJoin — and the exact range
+    predicate filters the bucket-local candidates.
+    """
+    span = upper - lower
+    if span <= 0:
+        raise ValueError("upper must exceed lower")
+    w = float(bucket_width or span)
+
+    lts = _epoch_seconds(F.col(left_ts), dict(left.dtypes)[left_ts])
+    rts = _epoch_seconds(F.col(right_ts), dict(right.dtypes)[right_ts])
+
+    rename_r = {
+        c: (f"__r_{c}__" if c in left.columns and c not in on else c)
+        for c in right.columns
+    }
+    r = right.select(
+        *[F.col(c).alias(rename_r[c]) for c in right.columns],
+        F.floor(rts / w).cast("long").alias("__bucket__"),
+    )
+    l = left.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor((lts + F.lit(lower)) / w).cast("long"),
+                F.floor((lts + F.lit(upper)) / w).cast("long"),
+            )
+        ).alias("__bucket__"),
+    )
+    rt_dtype = dict(right.dtypes)[right_ts]
+    r_ts_col = _epoch_seconds(F.col(rename_r[right_ts]), rt_dtype)
+    l_ts_col = _epoch_seconds(F.col(left_ts), dict(left.dtypes)[left_ts])
+    joined = l.join(r, [*on, "__bucket__"]).filter(
+        (r_ts_col > l_ts_col + F.lit(lower))
+        & (r_ts_col <= l_ts_col + F.lit(upper))
+    )
+    return joined.drop("__bucket__")

@@ -18,6 +18,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from anomaly_detector_faironchain_spark import __version__
 from anomaly_detector_faironchain_spark.plans.compiler import (
@@ -27,6 +28,55 @@ from anomaly_detector_faironchain_spark.plans.compiler import (
 from anomaly_detector_faironchain_spark.plans.spec import TableSpec
 
 MANIFEST_DIR = "_manifest"
+SKETCH_DIR = "key_sketches"
+
+
+def write_key_sketches(
+    df: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    out_dir: str,
+    run_id: str,
+    lg_k: int = 12,
+) -> None:
+    """Persist per-partition HLL key sketches for this run's partitions.
+
+    The incremental-uniqueness companion to the manifest: each run
+    appends (run_id, partition_id, n_rows, sketch) rows; sketches are
+    MERGEABLE, so `corpus_distinct_estimate` answers "how many distinct
+    keys across every run so far" from #partitions × 2 KB of parquet —
+    no rescan of completed partitions, ever (operators/uniqueness
+    module doc)."""
+    from anomaly_detector_faironchain_spark.operators.uniqueness import (
+        hll_partition_sketches,
+    )
+
+    sk = hll_partition_sketches(df, key_cols, partition_col, lg_k=lg_k)
+    (
+        sk.withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .parquet(str(Path(out_dir) / SKETCH_DIR))
+    )
+
+
+def corpus_distinct_estimate(spark, out_dir: str):
+    """Merge every persisted partition sketch (across all runs) into one
+    corpus-level row: (n_rows, n_partitions, distinct_estimate). Reads
+    only the sketch parquet — never the data."""
+    from anomaly_detector_faironchain_spark.operators.uniqueness import (
+        merge_sketches,
+    )
+
+    path = Path(out_dir) / SKETCH_DIR
+    sk = spark.read.parquet(str(path))
+    # a partition re-validated by a later run keeps only its latest sketch
+    latest = sk.withColumn(
+        "__rn__",
+        F.row_number().over(
+            Window.partitionBy("partition_id").orderBy(F.col("run_id").desc())
+        ),
+    ).filter(F.col("__rn__") == 1).drop("__rn__")
+    return merge_sketches(latest)
 
 
 def completed_partitions(out_dir: str) -> set[str]:

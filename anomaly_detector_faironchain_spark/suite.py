@@ -593,6 +593,10 @@ from anomaly_detector_faironchain_spark import suite_graph  # noqa: E402
 QUERIES.update(suite_graph.QUERIES)
 ORACLES.update(suite_graph.ORACLES)
 
+from anomaly_detector_faironchain_spark import suite_temporal  # noqa: E402
+QUERIES.update(suite_temporal.QUERIES)
+ORACLES.update(suite_temporal.ORACLES)
+
 
 # -- Drift per group (the validate_table by-partition drift path) -----------
 

@@ -1,0 +1,182 @@
+"""Temporal-join + mergeable-sketch queries with DuckDB oracles.
+
+- asof_attribution: every purchase event attributed to the user's most
+  recent prior view (pandas merge_asof / DuckDB ASOF JOIN semantics)
+  via the one-shuffle union-window asof_join operator, with a 1-day
+  tolerance.
+- interval_follow: per event, count + value of same-user follow-up
+  events within the next hour, via the bucketed interval_join (equi
+  hash join on (user, time-bucket), never a nested-loop range join).
+- hll_uniqueness_screen: the uniqueness screen computed from MERGEABLE
+  HLL sketches (hll_sketch_agg) instead of approx_count_distinct
+  numbers — the form that supports checkpoint/resume merging
+  (plans/checkpoint.write_key_sketches). The oracle recomputes the
+  same verdict from exact distinct counts; the dup ratios in the test
+  data sit far from the 0.8 threshold, so the ~2.5% sketch error can
+  never flip a verdict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+)
+from anomaly_detector_faironchain_spark.operators.uniqueness import (
+    hll_partition_sketches,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- as-of join -------------------------------------------------------------
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # dedup views per (user, ts) so the as-of match is deterministic
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        value_cols=["view_value"],
+        tolerance=86400.0,
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.round("view_value", 4).cast("double").alias("view_value"),
+    )
+
+
+ORACLE_ASOF_ATTRIBUTION = """
+WITH views AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), m AS (
+  SELECT l.event_id, l.user_id, l.ts AS pts, r.ts AS vts, r.view_value
+  FROM (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase') l
+  ASOF LEFT JOIN views r
+    ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN epoch(pts) - epoch(vts) <= 86400.0
+            THEN strftime(vts, '%Y-%m-%d %H:%M:%S') END AS view_ts,
+       CAST(CASE WHEN epoch(pts) - epoch(vts) <= 86400.0
+            THEN ROUND(view_value, 4) END AS DOUBLE) AS view_value
+FROM m
+"""
+
+
+# -- interval join ----------------------------------------------------------
+
+def q_interval_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pairs = interval_join(
+        ev,
+        ev.select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        ),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="r_ts",
+        lower=0.0,
+        upper=3600.0,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.sum("r_value").alias("follow_value"),
+    )
+    return (
+        ev.join(counts, "event_id", "left")
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.coalesce(F.col("n_follow"), F.lit(0)).cast("long")
+            .alias("n_follow"),
+            F.round(F.coalesce(F.col("follow_value"), F.lit(0.0)), 4)
+            .cast("double").alias("follow_value"),
+        )
+    )
+
+
+ORACLE_INTERVAL_FOLLOW = """
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(COUNT(r.event_id) AS BIGINT) AS n_follow,
+       CAST(ROUND(COALESCE(SUM(r.value), 0.0), 4) AS DOUBLE) AS follow_value
+FROM events l
+LEFT JOIN events r
+  ON r.user_id = l.user_id
+ AND epoch(r.ts) > epoch(l.ts)
+ AND epoch(r.ts) <= epoch(l.ts) + 3600.0
+GROUP BY 1
+"""
+
+
+# -- mergeable HLL uniqueness screen ---------------------------------------
+
+def q_hll_uniqueness_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def screen(key_cols: list[str], check_id: str) -> DataFrame:
+        sk = hll_partition_sketches(ev, key_cols, "event_type")
+        return sk.select(
+            F.col("partition_id"),
+            F.lit(check_id).alias("check_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("distinct_estimate") < 0.8 * F.col("n_rows"))
+            .alias("is_suspect"),
+        )
+
+    return screen(["user_id", "ts", "event_id"], "uniq_full_key").unionByName(
+        screen(["user_id"], "uniq_user_id")
+    )
+
+
+ORACLE_HLL_UNIQUENESS_SCREEN = """
+SELECT event_type AS partition_id,
+       'uniq_full_key' AS check_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       COUNT(DISTINCT (user_id, ts, event_id)) < 0.8 * COUNT(*) AS is_suspect
+FROM events GROUP BY 1
+UNION ALL
+SELECT event_type AS partition_id,
+       'uniq_user_id' AS check_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       COUNT(DISTINCT user_id) < 0.8 * COUNT(*) AS is_suspect
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "asof_attribution": q_asof_attribution,
+    "interval_follow": q_interval_follow,
+    "hll_uniqueness_screen": q_hll_uniqueness_screen,
+}
+ORACLES = {
+    "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
+    "interval_follow": ORACLE_INTERVAL_FOLLOW,
+    "hll_uniqueness_screen": ORACLE_HLL_UNIQUENESS_SCREEN,
+}
