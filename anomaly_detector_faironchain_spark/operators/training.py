@@ -1,0 +1,198 @@
+"""Training-data preparation operators: deterministic splits, chunking,
+token-budget packing, corpus heavy-hitters, stratified sampling.
+
+These are the steps between a curated corpus (operators/curation.py) and
+a tokenizer: assign every document to a train/val/test split WITHOUT a
+random() that breaks reproducibility or a shuffle that moves bodies,
+cut documents into overlapping context-window chunks, group documents
+into token-budget batches, and surface corpus statistics (top terms,
+per-stratum samples) for inspection.
+
+All pure built-in expressions — whole-stage codegen, zero Python UDFs:
+
+- deterministic_split: md5(group)-prefix range test. Map-only (no
+  shuffle, no RNG): the same group always lands in the same split, on
+  any cluster size, in any run — and grouping by repo/source keeps
+  near-duplicate documents of one origin out of opposite splits
+  (the classic train/test contamination bug).
+- chunk_documents: sequence() + posexplode-style substring windows.
+  Map-only; bodies never shuffle — each chunk row carries a hash, not
+  the text, unless asked.
+- pack_token_budget: running token sum per shard (partitioned window)
+  → batch id. One shuffle on the shard key; within a shard the
+  assignment is the sequential greedy one.
+- top_terms: explode→map-side-combined count→TakeOrderedAndProject.
+  The shuffle carries (word, partial count) pairs, never documents.
+- stratified_sample: per-stratum deterministic top-k by key hash
+  (partitioned window) — a reproducible "random" sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "deterministic_split",
+    "split_thresholds",
+    "chunk_documents",
+    "pack_token_budget",
+    "top_terms",
+    "stratified_sample",
+]
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """Cumulative 4-hex-digit md5-prefix upper bounds for each split,
+    in declaration order; the last split absorbs rounding remainder.
+
+    [('train', 'cccc'), ('val', 'e666'), ('test', None)] for 80/10/10.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, format(min(int(cum * 65536), 65535), "04x")))
+    out.append((names[-1], None))
+    return out
+
+
+def deterministic_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign a reproducible train/val/test split by GROUP, not by row:
+    every row whose ``group_col`` hashes into a split's md5-prefix range
+    gets that split. Pure string comparison on the md5 hex prefix — no
+    numeric conversion, no RNG, no shuffle; identical assignment on any
+    engine that computes standard md5 (the DuckDB oracle does)."""
+    prefix = F.substring(F.md5(F.col(group_col).cast("string")), 1, 4)
+    thresholds = split_thresholds(fractions)
+    result = F.lit(thresholds[-1][0])
+    for name, upper in reversed(thresholds[:-1]):
+        result = F.when(prefix < F.lit(upper), F.lit(name)).otherwise(result)
+    return df.withColumn(out_col, result)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    chunk_size: int = 200,
+    overlap: int = 50,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Cut each document into chunks of ``chunk_size`` chars advancing
+    by ``chunk_size - overlap``; the final partial chunk is kept. Output
+    is one row per (doc, chunk_id) with the chunk length and an md5 of
+    the chunk — the text itself only with ``keep_text=True`` (hash-only
+    output keeps the exploded table narrow at corpus scale; the chunk
+    is re-derivable from (doc_id, chunk_id))."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    n = F.length(F.col(text_col))
+    last_k = F.floor((n - F.lit(1)) / F.lit(step)).cast("int")
+    exploded = df.filter(n.isNotNull() & (n > 0)).select(
+        *id_cols,
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(last_k, F.lit(0)))
+        ).alias("chunk_id"),
+        F.col(text_col).alias("__text__"),
+    )
+    piece = F.col("__text__").substr(
+        F.col("chunk_id") * step + 1, F.lit(chunk_size)
+    )
+    cols = [
+        *id_cols,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.length(piece).cast("long").alias("chunk_len"),
+        F.md5(piece).alias("chunk_md5"),
+    ]
+    if keep_text:
+        cols.append(piece.alias("chunk_text"))
+    return exploded.select(*cols)
+
+
+def pack_token_budget(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    budget: int,
+    token_expr: Column | None = None,
+) -> DataFrame:
+    """Group documents into token-budget batches per shard: documents
+    are taken in ``order_col`` order, a running token total accumulates,
+    and ``batch_id = floor((running - tokens) / budget)`` — the batch in
+    which each document STARTS (the streaming sequence-packing
+    approximation: batches fill to ~budget, a document never splits).
+
+    One hash shuffle on the shard column; the per-shard running sum is a
+    partitioned window, so shards pack in parallel. Default token proxy:
+    ceil(len/4) chars-per-token."""
+    tokens = (
+        token_expr
+        if token_expr is not None
+        else F.ceil(F.length("text") / F.lit(4)).cast("long")
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("tokens", tokens)
+    running = F.sum("tokens").over(w)
+    return out.withColumn(
+        "batch_id",
+        F.floor((running - F.col("tokens")) / F.lit(budget)).cast("long"),
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_len: int = 4,
+) -> DataFrame:
+    """Top-k corpus terms by frequency (ties broken by term) — the
+    stopword/boilerplate report for a curation run. Explode → partial
+    count (map-side combine) → TakeOrderedAndProject: the only shuffle
+    carries (term, count) partials. For heavy-hitter screening at
+    10^12 docs swap the exact count for count_min_sketch() partials;
+    exact counting of the shuffled partials is already linear-scalable
+    so the exact form is the default."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
+    ).filter(F.length("term") >= min_len)
+    return (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each stratum
+    by md5(key) (uniform, reproducible, engine-portable) and keep the
+    first k. Partitioned window — strata sample in parallel; no RNG
+    state, so a resumed or re-run job samples identically."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -597,6 +597,10 @@ from anomaly_detector_faironchain_spark import suite_temporal  # noqa: E402
 QUERIES.update(suite_temporal.QUERIES)
 ORACLES.update(suite_temporal.ORACLES)
 
+from anomaly_detector_faironchain_spark import suite_training  # noqa: E402
+QUERIES.update(suite_training.QUERIES)
+ORACLES.update(suite_training.ORACLES)
+
 
 # -- Drift per group (the validate_table by-partition drift path) -----------
 

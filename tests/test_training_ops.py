@@ -1,0 +1,130 @@
+"""Unit tests for training-data preparation operators beyond the
+DuckDB oracle pairs: group purity of splits, chunk coverage, packing
+invariants, and determinism across re-runs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators.training import (
+    chunk_documents,
+    deterministic_split,
+    pack_token_budget,
+    split_thresholds,
+    stratified_sample,
+)
+
+
+def test_split_thresholds_validation():
+    assert split_thresholds({"a": 0.5, "b": 0.5}) == [("a", "8000"), ("b", None)]
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})
+
+
+def test_split_is_group_pure_and_roughly_proportional(spark):
+    df = spark.range(20000).select(
+        (F.col("id") % 500).cast("string").alias("grp"), F.col("id")
+    )
+    out = deterministic_split(df, "grp", {"train": 0.8, "val": 0.1,
+                                          "test": 0.1})
+    # group purity: every group maps to exactly one split
+    impure = (
+        out.groupBy("grp").agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1).count()
+    )
+    assert impure == 0
+    frac = {
+        r["split"]: r["n"] / 500
+        for r in out.select("grp", "split").distinct()
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(frac["train"] - 0.8) < 0.08
+    assert abs(frac["val"] - 0.1) < 0.06
+    assert abs(frac["test"] - 0.1) < 0.06
+
+
+def test_split_stable_across_runs(spark):
+    df = spark.range(100).select(F.col("id").cast("string").alias("grp"))
+    a = {r["grp"]: r["split"] for r in
+         deterministic_split(df, "grp", {"x": 0.5, "y": 0.5}).collect()}
+    b = {r["grp"]: r["split"] for r in
+         deterministic_split(df, "grp", {"x": 0.5, "y": 0.5}).collect()}
+    assert a == b
+
+
+def test_chunks_cover_text_exactly(spark):
+    text = "abcdefghij" * 53  # 530 chars
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_size=200, overlap=50, keep_text=True)
+        .collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts at 0,150,300,450 -> 4 chunks; last one is partial (80 chars)
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    assert [r["chunk_len"] for r in rows] == [200, 200, 200, 80]
+    # overlapped reconstruction: dropping each chunk's first 50 chars
+    # (except chunk 0) re-yields the document
+    rebuilt = rows[0]["chunk_text"] + "".join(
+        r["chunk_text"][50:] for r in rows[1:]
+    )
+    assert rebuilt == text
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=10, overlap=10)
+
+
+def test_packing_batches_fill_to_budget(spark):
+    df = spark.createDataFrame(
+        [(i, "s", "x" * 400) for i in range(30)],  # 100 tokens each
+        "doc_id long, shard string, text string",
+    )
+    out = pack_token_budget(df, "shard", "doc_id", budget=1000).collect()
+    # 100-token docs, 1000 budget -> exactly 10 docs per batch, in order
+    for r in out:
+        assert r["batch_id"] == (r["doc_id"] // 10)
+    sums = {}
+    for r in out:
+        sums[r["batch_id"]] = sums.get(r["batch_id"], 0) + r["tokens"]
+    assert all(v == 1000 for v in sums.values())
+
+
+def test_packing_oversize_doc_gets_own_batch_slot(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "x" * 40), (2, "s", "x" * 40000), (3, "s", "x" * 40)],
+        "doc_id long, shard string, text string",
+    )
+    got = {r["doc_id"]: r["batch_id"] for r in
+           pack_token_budget(df, "shard", "doc_id", budget=100).collect()}
+    # doc 2 (10000 tokens) starts in batch 0 (after doc 1's 10 tokens);
+    # doc 3 starts after 10010 tokens -> batch 100
+    assert got[1] == 0 and got[2] == 0 and got[3] == 100
+
+
+def test_stratified_sample_size_and_determinism(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("stratum"), F.col("id")
+    )
+    a = stratified_sample(df, "stratum", "id", k=7)
+    counts = {r["stratum"]: r["n"] for r in
+              a.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    ids_a = {r["id"] for r in a.collect()}
+    ids_b = {r["id"] for r in
+             stratified_sample(df, "stratum", "id", k=7).collect()}
+    assert ids_a == ids_b
+
+
+def test_chunking_plan_is_map_only(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t" * 100), F.col("id").cast("string")).alias("text"),
+    )
+    plan = (
+        chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # bodies never shuffle
