@@ -46,6 +46,36 @@ _ICEBERG_HINT = (
 )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table.
+
+    Bucketing is the 100 TB co-location strategy for REPEATED joins on
+    the same key: both sides pre-hashed into ``n_buckets`` files per
+    partition at write time, so every later equi-join / anti-join on the
+    bucket columns compiles WITHOUT an Exchange on either side — the
+    shuffle is paid once at ingest instead of per run
+    (tests/test_bucketed_joins.py asserts the Exchange-free plan).
+    Size ``n_buckets`` so one bucket of the FACT table fits an executor
+    core's working memory (e.g. 10^12 rows × 200 B / 8192 buckets ≈
+    24 GB per bucket — split further by a partition column).
+
+    On a cluster the same code lands on the Hive/Iceberg catalog;
+    Iceberg reads bucketed writes back through its own partition
+    transform (``bucket(n, col)``) with storage-partitioned joins."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.bucketBy(n_buckets, *cols)
+    if sort:
+        w = w.sortBy(*cols)
+    w.mode(mode).format("parquet").saveAsTable(table)
+
+
 def load_table(
     spark: SparkSession, ref: str, default_format: str = "parquet"
 ) -> DataFrame:
