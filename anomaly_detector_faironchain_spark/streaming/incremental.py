@@ -35,11 +35,17 @@ def validate_stream(
     spec: TableSpec,
     out_dir: str,
     refs: dict[str, DataFrame] | None = None,
+    drift_refs: dict[str, DataFrame] | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
     """Start (and with available_now=True, run to completion) a streaming
     validation over parquet files arriving in input_dir.
+
+    drift_refs: static reference histograms ({col: (bucket, cnt) DF}) —
+    every micro-batch's distribution is PSI/KS-scored against them, so
+    a drifting producer flips the drift verdict within one trigger
+    instead of at the next batch backfill.
 
     Returns the StreamingQuery. Verdicts/violations parquet accumulate
     under out_dir with a batch_id lineage column.
@@ -55,7 +61,7 @@ def validate_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = validate_table(batch_df, spec, refs=refs)
+        res = validate_table(batch_df, spec, refs=refs, drift_refs=drift_refs)
         res.verdicts.withColumn("batch_id", F.lit(batch_id)) \
             .write.mode("append").parquet(vdir)
         res.violations.withColumn("batch_id", F.lit(batch_id)) \
