@@ -275,3 +275,73 @@ def hamming64(a, b):
         t = F.bit_count(na.bitwiseXOR(nb))
         d = t if d is None else d + t
     return d.cast("int")
+
+
+def simhash_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash: (id_a, id_b, hamming) for
+    every pair with hamming(simhash64) <= max_hamming.
+
+    This is the SCALE PATH the pairwise Hamming histogram queries are a
+    diagnostic for: the signature is split into (max_hamming + 1)
+    disjoint bands, and by pigeonhole any pair within distance
+    max_hamming agrees EXACTLY on at least one band — so candidates come
+    from per-band equi-joins (shuffle on the band value), never an
+    all-pairs comparison. With max_bucket=None the result is EXACT (no
+    recall loss); at web scale pass a cap to drop degenerate buckets
+    (e.g. the all-zero signature of empty documents), trading bounded
+    recall for a hard O(bucket²) ceiling — the same guard as
+    lsh_candidate_pairs.
+
+    Bands are hex-character aligned (4-bit granularity), sized as evenly
+    as 16 chars split (max_hamming+1) ways allows; max_hamming <= 15.
+    """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15] for 16 hex bands")
+    sig = simhash64(df, id_col, text_col)
+    nb = max_hamming + 1
+    bounds = [round(i * 16 / nb) for i in range(nb + 1)]
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.substring("simhash64", bounds[i] + 1, bounds[i + 1] - bounds[i]).alias("bkey"),
+        )
+        for i in range(nb)
+    ]
+    banded = sig.select(
+        "id", "simhash64", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "id", "simhash64",
+        F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"),
+    )
+    if max_bucket is not None:
+        banded = banded.join(
+            banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn")),
+            ["band", "bkey"],
+        ).filter(F.col("bn") <= max_bucket).drop("bn")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # signatures ride through the join so the verify step needs no
+    # second lookup; distinct() collapses pairs matching on several bands
+    # BEFORE the 64-bit-count verify is paid
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash64").alias("__ha__"),
+            F.col("b.simhash64").alias("__hb__"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("__ha__"), F.col("__hb__")))
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("__ha__", "__hb__")
+    )

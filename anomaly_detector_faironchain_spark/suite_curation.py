@@ -241,6 +241,37 @@ def q_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup (the scale path): pigeonhole band
+    equi-join + exact Hamming verify. The oracle computes the same
+    result by brute force — identical answers from radically different
+    plans is the point of the pair."""
+    docs = _docs(spark, sf_dir)
+    out = dedup.simhash_neardup(docs, "doc_id", "text", max_hamming=7)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def _simhash_neardup_oracle(max_hamming: int = 7) -> str:
+    base = _simhash64_oracle()
+    head, _, _ = base.partition("ham AS (")
+    ham_expr = " + ".join(
+        f"bit_count(xor(CAST(strpos('0123456789abcdef', substr(a.simhash64, {i}, 1)) - 1 AS INT), "
+        f"CAST(strpos('0123456789abcdef', substr(b.simhash64, {i}, 1)) - 1 AS INT)))"
+        for i in range(1, 17)
+    )
+    return f"""{head}ham AS (
+  SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+         CAST({ham_expr} AS INT) AS hamming
+  FROM sim a JOIN sim b ON a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {max_hamming}
+"""
+
+
 def _simhash64_oracle() -> str:
     nib = lambda i: f"(strpos('0123456789abcdef', substr(md5(tok), {i}, 1)) - 1)"  # noqa: E731
     nibs = ", ".join(f"{nib(i + 1)} AS n{i}" for i in range(16))
@@ -700,6 +731,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_hamming_hist": q_simhash_hamming_hist,
     "simhash64_hamming": q_simhash64_hamming,
+    "simhash_neardup": q_simhash_neardup,
     "knn_bruteforce": q_knn_bruteforce,
     "lsh_buckets": q_lsh_buckets,
     "lsh_ann_topk": q_lsh_ann_topk,
@@ -718,6 +750,7 @@ ORACLES = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash_hamming_hist": _simhash_oracle(),
     "simhash64_hamming": _simhash64_oracle(),
+    "simhash_neardup": _simhash_neardup_oracle(),
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "lsh_buckets": ORACLE_LSH_BUCKETS,
     "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,

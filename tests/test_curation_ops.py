@@ -224,3 +224,49 @@ def test_embedding_neardup_bucket_cap_bounds_fanout(spark):
         df, "vec_id", "embedding", threshold=0.5, n_planes=4, n_tables=1,
     )
     assert full.count() == n * (n - 1) // 2
+
+
+def test_simhash_neardup_banding_matches_bruteforce(spark, docs):
+    """Pigeonhole exactness: the banded equi-join path must return the
+    IDENTICAL pair set a brute-force all-pairs hamming scan returns, and
+    its plan must contain no cartesian product."""
+    base = docs.select("doc_id", "text").limit(40)
+    near = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    aug = base.unionByName(near)
+    k = 7
+    banded = dedup.simhash_neardup(aug, "doc_id", "text", max_hamming=k)
+    assert "CartesianProduct" not in banded._jdf.queryExecution().executedPlan().toString()
+
+    sim = dedup.simhash64(aug, "doc_id", "text")
+    a = sim.select(F.col("id").alias("id_a"), F.col("simhash64").alias("ha"))
+    b = sim.select(F.col("id").alias("id_b"), F.col("simhash64").alias("hb"))
+    brute = (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", dedup.hamming64(F.col("ha"), F.col("hb")))
+        .filter(F.col("hamming") <= k)
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in banded.collect()}
+    want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    assert got == want
+    # dropping one word flips only a few bits: the planted pairs appear
+    planted = {(i, i + 10_000) for i, _ in
+               ((r.doc_id, None) for r in base.collect())}
+    assert {(x, y) for x, y, _ in got} & planted
+
+
+def test_simhash_neardup_bucket_cap_bounds_fanout(spark):
+    """max_bucket drops degenerate buckets (identical signatures) so the
+    candidate set stays bounded: 30 byte-identical docs form a bucket of
+    30 in EVERY band -> capped run returns no pairs for them."""
+    rows = [(i, "the same text body repeated for everyone") for i in range(30)]
+    rows += [(100, "a genuinely unique document body here"),
+             (101, "a genuinely unique document body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.simhash_neardup(df, "doc_id", "text", max_hamming=7,
+                                   max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert all(x not in range(30) and y not in range(30) for x, y in got)
+    assert (100, 101) in got  # the small bucket's pair survives
