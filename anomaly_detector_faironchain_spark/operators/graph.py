@@ -11,10 +11,10 @@ Scale notes per operator:
   * edge aggregation: one hash-shuffle on (src,dst) with map-side combine;
   * degree/amount features: two aggs + one full-outer join on node id;
   * mutual pairs: equi-join on the reversed key — shuffle-parallel;
-  * triangles: 3-way self-join with min-vertex orientation; hub skew is
-    the hazard (reference whitelists hubs for the same reason —
-    extract_motif_features.py:41-44) → callers should pre-filter or salt
-    mega-hubs, and AQE skew-join splits the residue;
+  * triangles: wedge join pivoted on the order-minimal vertex (half the
+    wedges of a middle-vertex pivot); orientation="degree" upgrades the
+    order to node-iterator-core so mega-hubs generate ~no wedges
+    (O(m^1.5) regardless of skew) at the cost of a degree attach;
   * egonet: neighbor-pair join, O(Σ deg²) — the most expensive operator;
     cap or exclude hubs exactly as the reference's whitelist does.
 """
@@ -95,29 +95,79 @@ def mutual_pair_features(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_features(edges: DataFrame) -> DataFrame:
+def triangle_features(
+    edges: DataFrame,
+    orientation: str = "id",
+    broadcast_degrees: bool = True,
+) -> DataFrame:
     """Directed 3-cycle motif (reference extract_motif_features.py:48-75):
-    cycles a→b→c→a counted once via the min-vertex orientation (a < b and
-    a < c); each participant is credited the triangle and the summed
-    amount/count of its 3 edges. 3-way self-join + explode — the skew
-    hazard is hub nodes; reference handles it by whitelisting hubs, here
-    callers pre-filter and AQE splits residual skew."""
+    cycles a→b→c→a counted once via the minimal vertex of a strict total
+    order; each participant is credited the triangle and the summed
+    amount/count of its 3 edges.
+
+    Both orientation constraints (ord(a)<ord(b), ord(a)<ord(c)) bind
+    edges INCIDENT TO a, so the wedge join pivots on the order-minimal
+    vertex: intermediate = Σ_a d⁺_>(a)·d⁻_>(a), counting only neighbors
+    ABOVE a in the order — about HALF the Σ_b d⁻_<(b)·d⁺(b) a pivot on
+    the middle vertex pays, with no extra joins.
+
+    orientation picks the total order (per-node results are identical —
+    any strict total order counts each cycle exactly once):
+      * "id" (default): ord(v) = v. Zero preparation cost; a mega-hub
+        that happens to sit LOW in the id order keeps a quadratic wedge
+        fan-out (hazard class unchanged, constant halved).
+      * "degree": ord(v) = (total degree, v) — node-iterator-core. A
+        mega-hub is above ~all of its neighbors and generates ~no wedges
+        (the O(m^1.5) bound; the reference whitelists hubs for exactly
+        this reason, extract_motif_features.py:41-44). Costs a degree
+        aggregation + two degree-attach joins; measured ~1.5× slower on
+        a uniform-degree 2M-edge corpus (tools/tri_ab.py), the price of
+        the worst-case guarantee — pick it for power-law graphs.
+    broadcast_degrees: the degree table is node-cardinality, far smaller
+    than the edges it orients, and AQE cannot see that at plan time (it
+    sits behind a fresh shuffle agg) — unhinted, the plan pays two
+    sort-merge shuffles of the EDGES per wedge branch just to attach
+    ranks. Pass False only when even the node table outgrows broadcast.
+    """
     e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst", "amount", "cnt")
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"),
-                  F.col("amount").alias("am1"), F.col("cnt").alias("c1"))
+    if orientation == "degree":
+        deg = (
+            e.select(F.col("src").alias("v")).union(e.select(F.col("dst")))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("__deg__"))
+        )
+        if broadcast_degrees:
+            deg = F.broadcast(deg)
+        ranked = (
+            e.join(deg.withColumnRenamed("v", "src")
+                      .withColumnRenamed("__deg__", "__dsrc__"), "src")
+            .join(deg.withColumnRenamed("v", "dst")
+                     .withColumnRenamed("__deg__", "__ddst__"), "dst")
+            .select(
+                "src", "dst", "amount", "cnt",
+                F.struct(F.col("__dsrc__"), F.col("src")).alias("osrc"),
+                F.struct(F.col("__ddst__"), F.col("dst")).alias("odst"),
+            )
+        )
+    elif orientation == "id":
+        ranked = e.select(
+            "src", "dst", "amount", "cnt",
+            F.col("src").alias("osrc"), F.col("dst").alias("odst"),
+        )
+    else:
+        raise ValueError(f"unknown orientation: {orientation!r}")
+    e1 = ranked.filter(F.col("osrc") < F.col("odst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("amount").alias("am1"), F.col("cnt").alias("c1"),
+    )
+    e3 = ranked.filter(F.col("odst") < F.col("osrc")).select(
+        F.col("dst").alias("a"), F.col("src").alias("c"),
+        F.col("amount").alias("am3"), F.col("cnt").alias("c3"),
+    )
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"),
                   F.col("amount").alias("am2"), F.col("cnt").alias("c2"))
-    e3 = e.select(F.col("src").alias("c"), F.col("dst").alias("a"),
-                  F.col("amount").alias("am3"), F.col("cnt").alias("c3"))
-    # orientation filters applied EARLY, by hand: Catalyst pushes a<b into
-    # e1 but does not infer a<c onto e3 (dst<src) nor onto the e1⋈e2
-    # intermediate, so without these the full wedge set is shuffled into
-    # the second join — 2× the exchange volume on the heaviest stage
     tri = (
-        e1.filter(F.col("a") < F.col("b"))
-        .join(e2, "b")
-        .filter(F.col("a") < F.col("c"))
-        .join(e3.filter(F.col("a") < F.col("c")), ["c", "a"])
+        e1.join(e3, "a")                # wedges centered on the order-min vertex
+        .join(e2, ["b", "c"])           # close the cycle: equi-join on the PAIR key
         .select(
             "a", "b", "c",
             (F.col("am1") + F.col("am2") + F.col("am3")).alias("tri_amount"),

@@ -86,3 +86,23 @@ def test_mahalanobis_drops_zero_variance(spark):
     df = spark.createDataFrame(rows, "id long, f1 double, f2 double")
     out = mahalanobis.mahalanobis(df, ["f1", "f2"], "d").collect()
     assert all(np.isfinite(r.d) for r in out)  # constant f2 excluded, no inversion blowup
+
+
+def test_triangles_orientations_agree(spark):
+    """Both total orders (id and degree) must count each directed cycle
+    exactly once per participant. The degree order picks 'z' (degree 2,
+    HIGHEST id) as the cycle's pivot while the id order picks 'x' —
+    results must be identical anyway."""
+    rows = [("x", "y", 1.0, 1), ("y", "z", 2.0, 2), ("z", "x", 4.0, 3)]
+    # fan edges pump up deg(x) and deg(y) so z is degree-minimal
+    rows += [("x", f"f{i}", 0.5, 10 + i) for i in range(5)]
+    rows += [(f"g{i}", "y", 0.5, 20 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "src string, dst string, amount double, ts long")
+    e = graph.aggregate_edges(df, "src", "dst", "amount", "ts")
+    for orientation in ("id", "degree"):
+        tf = {r.node: r for r in
+              graph.triangle_features(e, orientation=orientation).collect()}
+        assert set(tf) == {"x", "y", "z"}
+        assert all(tf[n].triangle_count == 1 for n in "xyz")
+        assert tf["z"].triangle_amount == pytest.approx(7.0)
+        assert tf["z"].triangle_tx == 3
