@@ -65,15 +65,22 @@ class ValidationResult:
         stage tails with the other's tasks, removing the serial gap two
         back-to-back actions would leave.
 
-        The shared violation scan (the heaviest pass) is warmed FIRST as
-        its own fully-parallel job: two uncached concurrent consumers of
-        one persisted frame can otherwise both compute its partitions
-        (RDD cache locking is best-effort), duplicating the scan.
+        The two cached input scans — the fused profile and the shared
+        violation scan — are warmed first, CONCURRENTLY with each other:
+        they are independent full passes over the input, so overlapping
+        them fills each other's stage tails, and warming before the
+        consumer jobs prevents two uncached concurrent consumers of one
+        persisted frame from both computing its partitions (RDD cache
+        locking is best-effort).
         Returns (verdict_rows, n_violation_rows)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        if self.row_violations is not None:
-            self.row_violations.count()
+        with ThreadPoolExecutor(2) as ex:
+            warms = [ex.submit(self.profile.count)]
+            if self.row_violations is not None:
+                warms.append(ex.submit(self.row_violations.count))
+            for w in warms:
+                w.result()
         with ThreadPoolExecutor(2) as ex:
             fv = ex.submit(self.verdicts.collect)
             fx = ex.submit(self.violations.count)

@@ -101,3 +101,38 @@ def test_jaccard_duplicate_candidate_pairs_are_deduped(spark):
     out = dedup.jaccard_for_pairs(sh, pairs).collect()
     assert len(out) == 1
     assert abs(out[0].jaccard - 2 / 4) < 1e-12  # {a b, b c} of 3+3 shingles
+
+
+def test_distributed_avg_rank_hypothesis_property(spark):
+    """Property check over adversarial small inputs: arbitrary floats
+    with forced duplicates, negatives, and denormal-ish magnitudes must
+    rank exactly like pandas in both directions."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(
+        allow_nan=False, allow_infinity=False, width=64,
+        min_value=-1e12, max_value=1e12,
+    )
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(finite, min_size=1, max_size=60), st.booleans())
+    def check(vals, ascending):
+        vals = vals + vals[: len(vals) // 2]  # force ties across buckets
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "id long, score double",
+        ).repartition(7)
+        pdf = (
+            scoring.distributed_avg_rank(df, "score", ascending=ascending)
+            .orderBy("id").toPandas()
+        )
+        assert len(pdf) == len(vals)
+        np.testing.assert_allclose(
+            pdf["__avg_rank__"].to_numpy(),
+            _expected(np.array(vals), ascending),
+            rtol=0, atol=1e-9,
+        )
+
+    check()
