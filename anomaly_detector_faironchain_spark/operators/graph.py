@@ -15,8 +15,10 @@ Scale notes per operator:
     wedges of a middle-vertex pivot); orientation="degree" upgrades the
     order to node-iterator-core so mega-hubs generate ~no wedges
     (O(m^1.5) regardless of skew) at the cost of a degree attach;
-  * egonet: neighbor-pair join, O(Σ deg²) — the most expensive operator;
-    cap or exclude hubs exactly as the reference's whitelist does.
+  * egonet: neighbor-pair join; each edge expands through its
+    smaller-degree endpoint, so the intermediate is Σ min(deg) instead
+    of Σ deg² — still the most expensive operator; exclude hubs as the
+    reference's whitelist does when even that is too much.
 """
 
 from __future__ import annotations
@@ -184,11 +186,25 @@ def triangle_features(
     )
 
 
-def egonet_features(edges: DataFrame) -> DataFrame:
+def egonet_features(
+    edges: DataFrame, route_by_degree: bool = True,
+    broadcast_degrees: bool = True,
+) -> DataFrame:
     """1-hop egonet size and density (reference
     extract_egonet_features.py:37-78): ego(v) = {v} ∪ undirected
     neighbors; n = |ego|; m = directed non-self edges within ego;
-    density = m / (n·(n−1)). Neighbor-pair join formulation."""
+    density = m / (n·(n−1)). Neighbor-pair join formulation.
+
+    The m count expands each directed edge (u→w) into the candidate egos
+    it might belong to — one row per ego containing one chosen endpoint —
+    then semi-filters on the other endpoint. Which endpoint to expand
+    through is free choice (the (v, edge) pair set is identical), so with
+    route_by_degree=True each edge expands through its SMALLER-degree
+    endpoint: the intermediate drops from Σ_edges deg(w) ≈ Σ deg² to
+    Σ_edges min(deg(u), deg(w)) — for a hub-and-spoke graph that is the
+    difference between deg² rows from every hub edge and deg rows total.
+    Degrees attach via a broadcast of the node-cardinality degree table
+    (broadcast_degrees=False falls back to a shuffle join)."""
     e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
     und = e.select("src", "dst").union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -205,12 +221,42 @@ def egonet_features(edges: DataFrame) -> DataFrame:
     # m: every directed edge (a→b), a≠b, with both endpoints in ego(v)
     ea = ego.select("v", F.col("member").alias("a"))
     eb = ego.select("v", F.col("member").alias("b"))
-    m_tbl = (
-        e.join(eb.withColumnRenamed("b", "dst"), "dst")
-        .join(ea.withColumnRenamed("a", "src"), ["v", "src"], "left_semi")
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
+    if route_by_degree:
+        degu = und.groupBy(F.col("src").alias("nd")).agg(
+            F.count(F.lit(1)).alias("__deg__")
+        )
+        if broadcast_degrees:
+            degu = F.broadcast(degu)
+        er = (
+            e.join(degu.withColumnRenamed("nd", "src")
+                       .withColumnRenamed("__deg__", "__ds__"), "src")
+            .join(degu.withColumnRenamed("nd", "dst")
+                      .withColumnRenamed("__deg__", "__dd__"), "dst")
+        )
+        via_dst = (
+            er.filter(F.col("__dd__") <= F.col("__ds__"))
+            .select("src", "dst")
+            .join(eb.withColumnRenamed("b", "dst"), "dst")
+            .join(ea.withColumnRenamed("a", "src"), ["v", "src"], "left_semi")
+            .select("v")
+        )
+        via_src = (
+            er.filter(F.col("__ds__") < F.col("__dd__"))
+            .select("src", "dst")
+            .join(ea.withColumnRenamed("a", "src"), "src")
+            .join(eb.withColumnRenamed("b", "dst"), ["v", "dst"], "left_semi")
+            .select("v")
+        )
+        m_tbl = via_dst.unionAll(via_src).groupBy("v").agg(
+            F.count(F.lit(1)).alias("m")
+        )
+    else:
+        m_tbl = (
+            e.join(eb.withColumnRenamed("b", "dst"), "dst")
+            .join(ea.withColumnRenamed("a", "src"), ["v", "src"], "left_semi")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
     return (
         n_tbl.join(m_tbl, "v", "left")
         .na.fill({"m": 0})

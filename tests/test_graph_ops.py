@@ -106,3 +106,24 @@ def test_triangles_orientations_agree(spark):
         assert all(tf[n].triangle_count == 1 for n in "xyz")
         assert tf["z"].triangle_amount == pytest.approx(7.0)
         assert tf["z"].triangle_tx == 3
+
+
+def test_egonet_routes_agree_on_hub_graph(spark):
+    """Min-degree routing must produce the identical (n, m, density) as
+    the fixed via-dst expansion — exercised on a hub-and-spoke graph
+    where every edge picks the spoke side, plus a clique where degrees
+    tie and the tiebreak goes via dst."""
+    rows = [("hub", f"s{i}", 1.0, i) for i in range(12)]
+    rows += [(f"s{i}", "hub", 1.0, 100 + i) for i in range(6)]
+    rows += [("s0", "s1", 1.0, 200), ("s1", "s2", 1.0, 201),
+             ("s2", "s0", 1.0, 202)]
+    df = spark.createDataFrame(rows, "src string, dst string, amount double, ts long")
+    e = graph.aggregate_edges(df, "src", "dst", "amount", "ts")
+    a = {r.node: (r.ego_n, r.ego_m, r.ego_density)
+         for r in graph.egonet_features(e, route_by_degree=False).collect()}
+    b = {r.node: (r.ego_n, r.ego_m, r.ego_density)
+         for r in graph.egonet_features(e, route_by_degree=True).collect()}
+    assert a == b
+    # hand check: ego(s0) = {s0, hub, s1, s2}; edges within: hub->s0/s1/s2,
+    # s0/s1/s2->hub, s0->s1, s1->s2, s2->s0 = 9
+    assert a["s0"][0] == 4 and a["s0"][1] == 9
