@@ -29,6 +29,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     RowCheck,
     TableSpec,
     Unique,
+    VectorShape,
 )
 
 # Sentinel partition value when a table has no partition column.
@@ -83,6 +84,28 @@ def violation_predicate(c, df_cols: list[str]) -> Column | None:
         # violation = predicate is false OR null (null-hostile, like an
         # assertion): coalesce(expr, false) == false
         return ~F.coalesce(F.expr(c.sql_expr), F.lit(False))
+    if isinstance(c, VectorShape):
+        col = F.col(c.col)
+        bad_elem = F.exists(
+            col,
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                col, F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        # a NaN/Inf norm makes the between-clause null/true, but bad_elem
+        # already fires for those rows, so the OR stays deterministic
+        bad = (
+            (F.size(col) != F.lit(c.dim))
+            | bad_elem
+            | ~norm.between(F.lit(float(c.norm_lo)), F.lit(float(c.norm_hi)))
+        )
+        return col.isNotNull() & bad
     return None
 
 

@@ -10,6 +10,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     NotNull,
     Regex,
     RowCheck,
+    VectorShape,
     TableSpec,
     Unique,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "NotNull",
     "Regex",
     "RowCheck",
+    "VectorShape",
     "TableSpec",
     "Unique",
 ]

@@ -172,6 +172,35 @@ class LengthInRange(Constraint):
 
 
 @dataclass(frozen=True)
+class VectorShape(Constraint):
+    """Embedding-column sanity: fixed dimensionality, all-finite
+    components, L2 norm within [norm_lo, norm_hi].
+
+    The vector analogue of Regex/LengthInRange for training-data tables:
+    catches truncated arrays (a failed batch writer), NaN/Inf components
+    (encoder overflow), and zero/exploded vectors — all of which poison
+    an ANN index silently if they reach it. Compiles to pure array
+    builtins (size / exists / aggregate) inside the fused row pass — no
+    UDF, whole-stage codegen. Null vectors are skipped (nullness is
+    NotNull's job); a null ELEMENT inside a vector is a violation.
+    """
+
+    col: str
+    dim: int
+    norm_lo: float = 0.0
+    norm_hi: float = float("inf")
+
+    def check_id(self) -> str:
+        return f"vector_shape({self.col})"
+
+    def description(self) -> str:
+        return (
+            f"{self.col} must be a finite {self.dim}-dim vector with "
+            f"L2 norm in [{self.norm_lo}, {self.norm_hi}]"
+        )
+
+
+@dataclass(frozen=True)
 class RowCheck(Constraint):
     """Arbitrary row-level predicate given as a SQL boolean expression;
     rows where it is false (or null) are violations. Generalizes the

@@ -544,10 +544,85 @@ FROM lineitem GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# VectorShape: embedding-column validation with injected corruption.
+# The vector analogue of the format checks — catches truncated arrays,
+# NaN components, and exploded norms before they poison an ANN index.
+# ---------------------------------------------------------------------------
+
+def q_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VectorShape over the embeddings table, verdicts per label
+    partition. Corruption is injected DETERMINISTICALLY in the query
+    itself (truncate ids %7, NaN ids %11, 3x rescale ids %13) and the
+    oracle applies the identical CASE in DuckDB — the injected-violation
+    pattern from SURVEY §5 as an oracle pair."""
+    from anomaly_detector_faironchain_spark.plans.spec import VectorShape
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    nan_head = F.concat(
+        F.array(F.lit(float("nan")).cast("float")), F.slice(v, 2, 63)
+    )
+    scaled = F.transform(v, lambda x: (x * F.lit(3.0)).cast("float"))
+    corrupted = emb.select(
+        "vec_id", "label",
+        F.when(F.col("vec_id") % 7 == 0, F.slice(v, 1, 32))
+        .when(F.col("vec_id") % 11 == 0, nan_head)
+        .when(F.col("vec_id") % 13 == 0, scaled)
+        .otherwise(v).alias("embedding"),
+    )
+    spec = TableSpec(
+        name="embeddings",
+        partition_col="label",
+        constraints=(
+            NotNull("embedding"),
+            VectorShape("embedding", 64, 0.5, 2.0),
+        ),
+    )
+    res = validate_table(corrupted, spec, materialize_violations=False)
+    return res.verdicts.select(
+        "table", "partition_id", "check_id", "passed",
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
+
+
+_VEC_BAD_SQL = (
+    "len(embedding) <> 64 "
+    "OR len(list_filter(embedding, x -> x IS NULL "
+    "OR isnan(CAST(x AS DOUBLE)) "
+    "OR abs(CAST(x AS DOUBLE)) = 'infinity'::DOUBLE)) > 0 "
+    "OR NOT (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(a, b) -> a + b)) BETWEEN 0.5 AND 2.0)"
+)
+
+ORACLE_EMBEDDING_VALIDATION = f"""
+WITH base AS (
+  SELECT COALESCE(CAST(label AS VARCHAR), '__null__') AS partition_id,
+    CASE WHEN vec_id % 7 = 0 THEN embedding[1:32]
+         WHEN vec_id % 11 = 0 THEN list_concat(['nan'::FLOAT], embedding[2:64])
+         WHEN vec_id % 13 = 0 THEN list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 3.0 AS FLOAT))
+         ELSE embedding END AS embedding
+  FROM embeddings
+), m AS (
+  SELECT partition_id,
+    CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+    CAST(SUM(CASE WHEN embedding IS NOT NULL AND ({_VEC_BAD_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS v_vec
+  FROM base GROUP BY 1
+)
+SELECT 'embeddings' AS "table", partition_id, 'not_null(embedding)' AS check_id,
+       v_notnull = 0 AS passed, v_notnull AS n_violations FROM m
+UNION ALL
+SELECT 'embeddings', partition_id, 'vector_shape(embedding)',
+       v_vec = 0, v_vec FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict = {
+    "embedding_validation": q_embedding_validation,
     "validation_verdicts": q_validation_verdicts,
     "profile_stats": q_profile_stats,
     "unique_duplicates": q_unique_duplicates,
@@ -570,6 +645,7 @@ from anomaly_detector_faironchain_spark import suite_curation  # noqa: E402
 QUERIES.update(suite_curation.QUERIES)
 
 ORACLES: dict = {
+    "embedding_validation": ORACLE_EMBEDDING_VALIDATION,
     "validation_verdicts": ORACLE_VALIDATION_VERDICTS,
     "profile_stats": ORACLE_PROFILE_STATS,
     "unique_duplicates": ORACLE_UNIQUE_DUPLICATES,

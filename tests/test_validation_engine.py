@@ -114,3 +114,38 @@ def test_verdicts_are_per_partition(spark, corrupted):
         .count()
     )
     assert dup == 0
+
+
+def test_vector_shape_constraint_catches_each_corruption(spark):
+    """VectorShape edge semantics: null vectors are SKIPPED (NotNull's
+    job), while wrong dim, NaN, Inf, null elements, and out-of-range
+    norms are each a violation — and the materialized violation rows
+    identify exactly the corrupted ids."""
+    from anomaly_detector_faironchain_spark.plans import VectorShape
+
+    rows = [
+        (0, [0.6, 0.8, 0.0]),        # clean, norm 1.0
+        (1, [3.0, 4.0, 0.0]),        # norm 5.0 > hi
+        (2, [0.1, 0.1, 0.0]),        # norm 0.141 < lo
+        (3, [0.6, 0.8]),             # wrong dim
+        (4, [float("nan"), 1.0, 0.0]),
+        (5, [float("inf"), 1.0, 0.0]),
+        (6, [None, 1.0, 0.0]),       # null element
+        (7, None),                   # null vector -> NOT a VectorShape hit
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    spec = TableSpec(
+        name="vecs", partition_col=None,
+        constraints=(NotNull("vec"), VectorShape("vec", 3, 0.5, 2.0)),
+    )
+    res = validate_table(df, spec)
+    verdicts = {r.check_id: r for r in res.verdicts.collect()}
+    assert verdicts["not_null(vec)"].n_violations == 1
+    assert verdicts["vector_shape(vec)"].n_violations == 6
+    bad_ids = sorted(
+        json.loads(r.row_payload)["id"]
+        for r in res.violations.filter(
+            F.col("check_id") == "vector_shape(vec)"
+        ).collect()
+    )
+    assert bad_ids == [1, 2, 3, 4, 5, 6]
