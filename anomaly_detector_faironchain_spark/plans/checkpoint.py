@@ -29,6 +29,7 @@ from anomaly_detector_faironchain_spark.plans.spec import TableSpec
 
 MANIFEST_DIR = "_manifest"
 SKETCH_DIR = "key_sketches"
+DRIFT_DIR = "drift_refs"
 
 
 def write_key_sketches(
@@ -77,6 +78,73 @@ def corpus_distinct_estimate(spark, out_dir: str):
         ),
     ).filter(F.col("__rn__") == 1).drop("__rn__")
     return merge_sketches(latest)
+
+
+def _drift_params(d) -> str:
+    """Bucketing identity of a Drift constraint. Two histograms are only
+    comparable when this matches — bucket ids are integers, so a changed
+    bins/lo/hi silently joins MISALIGNED buckets otherwise."""
+    if d.categorical:
+        return "categorical"
+    return f"bins={d.bins},lo={d.lo},hi={d.hi}"
+
+
+def write_drift_references(
+    result: ValidationResult, out_dir: str, run_id: str,
+    spec: TableSpec | None = None,
+) -> None:
+    """Persist this run's global drift histograms (one (bucket, cnt)
+    table per Drift column) so the NEXT run can validate against them —
+    the drift analogue of the HLL key sketches. Histograms are tiny
+    (``bins`` rows), so each run appends a few KB of parquet. The
+    bucketing params travel with each snapshot so a later run with a
+    changed binning is REFUSED instead of silently compared."""
+    from anomaly_detector_faironchain_spark.plans.spec import Drift
+
+    params = {}
+    if spec is not None:
+        params = {d.col: _drift_params(d) for d in spec.by_type(Drift)}
+    for col, hist in result.drift_histograms.items():
+        (
+            hist.withColumn("run_id", F.lit(run_id))
+            .withColumn("col", F.lit(col))
+            .withColumn("params", F.lit(params.get(col, "")))
+            .write.mode("append")
+            .parquet(str(Path(out_dir) / DRIFT_DIR))
+        )
+
+
+def load_drift_references(
+    spark, out_dir: str, expected_params: dict[str, str] | None = None
+) -> dict[str, DataFrame]:
+    """Latest persisted histogram per drift column: {col: (bucket, cnt)}.
+    run_id ordering is lexicographic — use sortable ids (zero-padded
+    timestamps, dates). Returns {} when no run has persisted yet.
+    expected_params: {col: params-string} from the current spec — a
+    stored snapshot whose bucketing differs raises ValueError."""
+    path = Path(out_dir) / DRIFT_DIR
+    if not path.is_dir():
+        return {}
+    df = spark.read.parquet(str(path))
+    latest = df.join(
+        df.groupBy("col").agg(F.max("run_id").alias("run_id")),
+        ["col", "run_id"],
+    )
+    meta = latest.select("col", "params").distinct().collect()
+    if expected_params:
+        for r in meta:
+            want = expected_params.get(r.col)
+            if want is not None and r.params and r.params != want:
+                raise ValueError(
+                    f"drift reference for {r.col!r} was built with "
+                    f"({r.params}) but the spec now says ({want}); "
+                    "bucket ids would misalign — re-baseline under a new "
+                    "out_dir or restore the original binning"
+                )
+    return {
+        r.col: latest.filter(F.col("col") == r.col).select("bucket", "cnt")
+        for r in meta
+    }
 
 
 def completed_partitions(out_dir: str) -> set[str]:
@@ -141,14 +209,28 @@ def run_with_checkpoint(
     refs: dict[str, DataFrame] | None = None,
     drift_refs: dict[str, DataFrame] | None = None,
     input_path: str | None = None,
+    run_id: str | None = None,
     **validate_kwargs,
 ) -> ValidationResult | None:
     """Validate only partitions not yet marked complete under out_dir;
     append verdict/violation parquet (partitioned by partition_id so a
     re-run prunes at the file level) and write per-partition manifests.
 
+    Drift references close their loop through the checkpoint dir: when
+    the spec has Drift constraints and the caller passes no drift_refs,
+    the latest persisted histogram per column is loaded (run N validates
+    against run N-1's snapshot — batch-over-batch monitoring semantics,
+    mirroring streaming/drift). A column with no stored snapshot yet
+    bootstraps against THIS run's own histogram (scores 0, passes) and
+    becomes the baseline. After every run the current histograms are
+    persisted under ``run_id`` (default: zero-padded unix time —
+    lexicographically sortable).
+
     Returns None if everything was already complete (nothing scanned).
     """
+    from anomaly_detector_faironchain_spark.operators import drift as drift_ops
+    from anomaly_detector_faironchain_spark.plans.spec import Drift
+
     t0 = time.time()
     done = completed_partitions(out_dir)
     scoped = df
@@ -165,6 +247,22 @@ def run_with_checkpoint(
     if spec.partition_col and scoped.limit(1).count() == 0:
         return None
 
+    drifts = spec.by_type(Drift)
+    if drifts and drift_refs is None:
+        drift_refs = load_drift_references(
+            df.sparkSession, out_dir,
+            expected_params={d.col: _drift_params(d) for d in drifts},
+        )
+        for d in drifts:
+            if d.col not in drift_refs:  # first run: self-baseline
+                drift_refs[d.col] = (
+                    drift_ops.categorical_histogram(scoped, d.col)
+                    if d.categorical
+                    else drift_ops.numeric_histogram(
+                        scoped, d.col, d.bins, d.lo, d.hi
+                    )
+                )
+
     result = validate_table(scoped, spec, refs=refs, drift_refs=drift_refs,
                             **validate_kwargs)
 
@@ -179,5 +277,9 @@ def run_with_checkpoint(
         .parquet(str(Path(out_dir) / "violations"))
     )
     result.profile.write.mode("append").parquet(str(Path(out_dir) / "profile"))
+    if result.drift_histograms:
+        write_drift_references(
+            result, out_dir, run_id or f"{int(time.time()):012d}", spec=spec
+        )
     _write_manifests(out_dir, spec, result, time.time() - t0, input_path)
     return result

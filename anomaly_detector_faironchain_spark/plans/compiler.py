@@ -52,6 +52,10 @@ class ValidationResult:
     verdicts: DataFrame
     violations: DataFrame
     drift_scores: dict[str, DataFrame] = field(default_factory=dict)
+    # this run's GLOBAL histogram per Drift column (bucket, cnt) — the
+    # snapshot the NEXT run validates against; persisted by
+    # checkpoint.write_drift_references
+    drift_histograms: dict[str, DataFrame] = field(default_factory=dict)
     # the persisted full violation scan shared by verdicts AND violations
     # (None when materialize_violations=False)
     row_violations: DataFrame | None = None
@@ -218,6 +222,7 @@ def validate_table(
     verdict_parts: list[DataFrame] = []
     violation_parts: list[DataFrame] = []
     drift_scores: dict[str, DataFrame] = {}
+    drift_histograms: dict[str, DataFrame] = {}
 
     if materialize_violations:
         row_viol = _row_violations(df, spec, limit_per_check=None)
@@ -346,6 +351,12 @@ def validate_table(
         by_group = spec.partition_col is not None
         if by_group:
             cur = cur.withColumnRenamed("group_id", "group_id")
+        # this run's corpus-level histogram — stored so it can serve as
+        # the NEXT run's reference (checkpoint.write_drift_references)
+        drift_histograms[d.col] = (
+            cur.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+            if by_group else cur
+        )
         fn = drift_ops.psi if d.method == "psi" else drift_ops.ks
         # reference histogram is global (no group) — replicate per group
         # by dropping group from the join: _normalized_join needs matched
@@ -404,4 +415,5 @@ def validate_table(
             "description string, row_payload string",
         )
     return ValidationResult(spec.name, profile, verdicts, violations,
-                            drift_scores, row_violations=row_viol)
+                            drift_scores, drift_histograms,
+                            row_violations=row_viol)

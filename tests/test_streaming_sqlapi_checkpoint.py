@@ -262,3 +262,59 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
         for r in curation.curate_documents(batch_input, "doc_id", "text").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_drift_reference_loop_through_checkpoint(spark, tmp_path):
+    """Run N validates against run N-1's persisted histogram: run 1
+    bootstraps against itself (passes, becomes baseline), run 2 brings a
+    shifted batch and must FAIL the drift check against run 1's
+    snapshot, run 3 finds nothing left to scan."""
+    from anomaly_detector_faironchain_spark.plans.spec import Drift, TableSpec
+
+    out = str(tmp_path / "drift_ck")
+    spec = TableSpec(
+        name="t", partition_col="batch",
+        constraints=(
+            Drift("x", method="psi", bins=20, lo=0.0, hi=200.0, threshold=0.2),
+        ),
+    )
+    b1 = spark.range(5000).selectExpr(
+        "1 as batch", "cast(id % 100 as double) as x"
+    )
+    r1 = run_with_checkpoint(b1, spec, out)
+    v1 = r1.verdicts.collect()
+    assert len(v1) == 1 and v1[0].passed  # self-baseline: psi ~ 0
+    assert v1[0].metric < 1e-6
+
+    shifted = spark.range(5000).selectExpr(
+        "2 as batch", "cast(100 + id % 100 as double) as x"
+    )
+    r2 = run_with_checkpoint(b1.unionAll(shifted), spec, out)
+    v2 = {r.partition_id: r for r in r2.verdicts.collect()}
+    assert set(v2) == {"2"}  # batch 1 already complete, pruned
+    assert not v2["2"].passed  # disjoint distribution vs run-1 snapshot
+    assert v2["2"].metric > 1.0
+
+    assert run_with_checkpoint(b1.unionAll(shifted), spec, out) is None
+
+
+def test_drift_reference_refuses_changed_binning(spark, tmp_path):
+    """A stored snapshot's bucket ids are only meaningful under the
+    binning that produced them — loading it under a different bins/lo/hi
+    must raise, not silently join misaligned buckets."""
+    from anomaly_detector_faironchain_spark.plans.spec import Drift, TableSpec
+
+    out = str(tmp_path / "drift_ck2")
+    mk = lambda hi: TableSpec(  # noqa: E731
+        name="t", partition_col="batch",
+        constraints=(Drift("x", bins=10, lo=0.0, hi=hi),),
+    )
+    b1 = spark.range(1000).selectExpr("1 as batch", "cast(id % 50 as double) as x")
+    run_with_checkpoint(b1, mk(100.0), out)
+    b2 = spark.range(1000).selectExpr("2 as batch", "cast(id % 50 as double) as x")
+    with pytest.raises(ValueError, match="misalign"):
+        run_with_checkpoint(b1.unionAll(b2), mk(200.0), out)
+    # unchanged binning still works and passes (same distribution)
+    r = run_with_checkpoint(b1.unionAll(b2), mk(100.0), out)
+    v = r.verdicts.collect()
+    assert len(v) == 1 and v[0].passed
