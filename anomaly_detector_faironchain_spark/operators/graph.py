@@ -270,3 +270,103 @@ def egonet_features(
             ).otherwise(F.lit(0.0)).alias("ego_density"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star:
+    (id, component) where component = the order-minimal member.
+
+    Extends the engine past per-edge motifs to global transitive
+    closure — what turns near-duplicate PAIRS (LSH/SimHash output) into
+    duplicate CLUSTERS, and what the reference's igraph `components()`
+    would do on a single machine.
+
+    Scale design (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014): converges in O(log n) rounds independent of
+    graph diameter — a plain min-label propagation needs O(diameter)
+    rounds and never finishes on a 10^9-node path. Each half-round is
+    one `Window.partitionBy(node)` shuffle (no orderBy — no sort, no
+    single reducer) plus a distinct; edge rows only ever SHRINK toward
+    the star forest, so the shuffle volume is bounded by the input edge
+    count every round. Lineage is truncated per round with
+    localCheckpoint (an iterative loop otherwise compounds the plan until
+    analysis itself dominates); swap for reliable `checkpoint(dir)` on a
+    real cluster where executor loss mid-algorithm must be survivable.
+
+    Self-loops and isolated mentions still label their node: every id
+    appearing in either endpoint column gets a row.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    e = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev = fingerprint(e)
+    for _ in range(max_iter):
+        if prev[0] == 0:
+            break
+        # large-star: every neighbor LARGER than u links to
+        # min(N(u) ∪ {u}) — computed over the bidirectional view
+        bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = F.least(F.min("v").over(w), F.col("u"))
+        e = (
+            bidir.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: direct each edge large→small; every smaller
+        # neighbor (and u itself, carried by the min-neighbor's row)
+        # links to the minimum
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mn = F.min("v").over(w)
+        e = (
+            directed.withColumn("m", mn)
+            .select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v")).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # e is now a star forest (child, root); roots and isolated nodes
+    # label themselves via the union + min
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .union(nodes.select("id", F.col("id").alias("component")))
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from anomaly_detector_faironchain_spark.operators import (
     dedup,
+    graph,
     multimodal,
     similarity,
     text as text_ops,
@@ -98,7 +99,9 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The MinHash→LSH→exact-Jaccard CTE chain ending at j(id_a,id_b,jac)
+    — shared by the pairwise oracle and the cluster (closure) oracle."""
     sig_cols = ", ".join(
         f"MIN(md5('{i}#' || shingle)) AS s{i}" for i in range(12)
     )
@@ -106,8 +109,7 @@ def _minhash_oracle() -> str:
         f"WHEN {b} THEN md5(s{3*b} || '|' || s{3*b+1} || '|' || s{3*b+2})"
         for b in range(4)
     )
-    return f"""
-WITH aug0 AS ({_AUG_SQL[True]}),
+    return f"""aug0 AS ({_AUG_SQL[True]}),
 aug AS (SELECT doc_id AS id, text FROM aug0),
 {_SHINGLE_SQL},
 sig AS (SELECT id, {sig_cols} FROM sh GROUP BY 1),
@@ -133,10 +135,56 @@ j AS (
   FROM inter
   JOIN sz sza ON sza.id = inter.id_a
   JOIN sz szb ON szb.id = inter.id_b
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(ROUND(jac, 4) AS DOUBLE) AS jaccard
 FROM j WHERE jac >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: LSH pairs -> connected components (the step that turns
+# pairwise similarity into per-document dedup decisions)
+# ---------------------------------------------------------------------------
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented(spark, sf_dir, perturb=True)
+    sh = dedup.shingles(aug, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, k=12)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3, max_bucket=50)
+    pairs = dedup.jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= 0.6)
+    comp = graph.connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _neardup_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT id_a AS u, id_b AS v FROM j WHERE jac >= 0.6),
+bidir AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+nodes AS (SELECT DISTINCT u AS id FROM bidir),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT b.v, w.comp FROM walk w JOIN bidir b ON b.u = w.id
+),
+lbl AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+csz AS (SELECT component, COUNT(*) AS cluster_size FROM lbl GROUP BY 1)
+SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM lbl JOIN csz USING (component)
 """
 
 
@@ -728,6 +776,7 @@ FROM documents
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "neardup_clusters": q_neardup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_hamming_hist": q_simhash_hamming_hist,
     "simhash64_hamming": q_simhash64_hamming,
@@ -747,6 +796,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "minhash_lsh_neardup": _minhash_oracle(),
+    "neardup_clusters": _neardup_clusters_oracle(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash_hamming_hist": _simhash_oracle(),
     "simhash64_hamming": _simhash64_oracle(),

@@ -379,8 +379,45 @@ FROM fin
 """
 
 
+# -- connected components: transitive closure over a sparse synthetic
+#    graph (large-star/small-star; oracle = recursive min-label closure) --
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    edges = o.filter(F.col("o_orderkey") % 40 == 0).select(
+        F.concat(F.lit("c"), F.col("o_custkey") % 800).alias("src"),
+        F.concat(F.lit("p"), F.lit(1) + F.col("o_orderkey") % 1500).alias("dst"),
+    )
+    return graph.connected_components(edges)
+
+
+ORACLE_CONNECTED_COMPONENTS = """
+WITH RECURSIVE base AS (
+  SELECT 'c' || (o_custkey % 800) AS u, 'p' || (1 + o_orderkey % 1500) AS v
+  FROM orders WHERE o_orderkey % 40 = 0
+),
+bidir AS (
+  SELECT u, v FROM base WHERE u <> v
+  UNION
+  SELECT v, u FROM base WHERE u <> v
+),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT u AS id FROM base UNION SELECT v AS id FROM base
+  )
+),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT b.v, w.comp FROM walk w JOIN bidir b ON b.u = w.id
+)
+SELECT id, MIN(comp) AS component FROM walk GROUP BY id
+"""
+
+
 QUERIES = {
     "edge_aggregation": q_edge_aggregation,
+    "connected_components": q_connected_components,
     "node_features": q_node_features,
     "self_loops": q_self_loops,
     "mutual_pairs": q_mutual_pairs,
@@ -392,6 +429,7 @@ QUERIES = {
 
 ORACLES = {
     "edge_aggregation": ORACLE_EDGE_AGGREGATION,
+    "connected_components": ORACLE_CONNECTED_COMPONENTS,
     "node_features": ORACLE_NODE_FEATURES,
     "self_loops": ORACLE_SELF_LOOPS,
     "mutual_pairs": ORACLE_MUTUAL_PAIRS,

@@ -127,3 +127,74 @@ def test_egonet_routes_agree_on_hub_graph(spark):
     # hand check: ego(s0) = {s0, hub, s1, s2}; edges within: hub->s0/s1/s2,
     # s0/s1/s2->hub, s0->s1, s1->s2, s2->s0 = 9
     assert a["s0"][0] == 4 and a["s0"][1] == 9
+
+
+def _uf_components(edges):
+    """Reference union-find over python tuples -> {id: min-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), []).append(x)
+    out = {}
+    for members in comp.values():
+        lo = min(members)
+        for m in members:
+            out[m] = lo
+    return out
+
+
+def test_connected_components_known_shapes(spark):
+    """Path, cycle, star, isolated self-loop, and two singletons joined
+    late — labels are the order-minimal member everywhere."""
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a4"),          # path
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),          # cycle
+        ("c9", "c1"), ("c9", "c2"), ("c9", "c3"),          # star (hub=c9)
+        ("d1", "d1"),                                       # self-loop only
+        ("e2", "e1"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.component
+           for r in graph.connected_components(df).collect()}
+    assert got == {
+        "a1": "a1", "a2": "a1", "a3": "a1", "a4": "a1",
+        "b1": "b1", "b2": "b1", "b3": "b1",
+        "c1": "c1", "c2": "c1", "c3": "c1", "c9": "c1",
+        "d1": "d1",
+        "e1": "e1", "e2": "e1",
+    }
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random sparse graph (long paths + cross links) vs a pure-python
+    union-find: identical labeling, and convergence well under max_iter
+    despite a diameter a label-propagation loop could not handle in the
+    same round count."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(0, 400)
+             if i % 37 != 0]  # broken path -> many long chains
+    edges += [(f"n{rng.randrange(500):04d}", f"n{rng.randrange(500):04d}")
+              for _ in range(60)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.component
+           for r in graph.connected_components(df, max_iter=12).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_connected_components_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert graph.connected_components(df).count() == 0
