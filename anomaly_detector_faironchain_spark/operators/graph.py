@@ -370,3 +370,76 @@ def connected_components(
         .groupBy("id")
         .agg(F.min("component").alias("component"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank by power iteration over the simple (deduplicated)
+    directed graph: (id, pagerank), Σ pagerank = 1 at every step.
+
+    PR_{t+1}(v) = (1-d)/N + d·(Σ_{u→v} PR_t(u)/outdeg(u) + dangling/N)
+    with dangling = Σ PR_t over zero-out-degree nodes — the standard
+    mass-conserving formulation.
+
+    Scale design: each iteration is ONE groupBy(dst) shuffle of
+    contribution rows with map-side partial sums (a hub's incoming mass
+    is combined per map task before the exchange); out-degrees are
+    computed once and reused. The two per-iteration scalars (N, dangling
+    mass) stay cluster-side as 1-row broadcast cross-joins — the loop
+    schedules NO driver collect beyond localCheckpoint's materialize.
+    Lineage is truncated every iteration (iterative plans otherwise grow
+    until analysis dominates); on a real cluster swap for reliable
+    `checkpoint(dir)`. Ranks/edges shuffle only (id, double) pairs —
+    at 10^10 edges the iteration cost is the contribution exchange,
+    bounded by the edge count regardless of rank skew.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("outd"))
+    e = e.join(deg, "u").localCheckpoint()  # (u, v, outd) — degree attached once
+    ranks = (
+        nodes.crossJoin(F.broadcast(ncnt))
+        .select("id", (F.lit(1.0) / F.col("n")).alias("pr"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e.u == ranks.id)
+            .groupBy("v")
+            .agg(F.sum(F.col("pr") / F.col("outd")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(deg, ranks.id == deg.u, "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.v, "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("dm") / F.col("n"))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", F.col("pr").alias("pagerank"))

@@ -415,9 +415,62 @@ SELECT id, MIN(comp) AS component FROM walk GROUP BY id
 """
 
 
+# -- PageRank: power iteration; oracle = the same 5 iterations unrolled
+#    as chained CTEs (recursive terms can't aggregate, so unroll) --------
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    edges = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        F.concat(F.lit("c"), F.col("o_custkey") % 800).alias("src"),
+        F.concat(F.lit("p"), F.lit(1) + F.col("o_orderkey") % 1500).alias("dst"),
+    )
+    pr = graph.pagerank(edges, damping=0.85, n_iter=5)
+    return pr.select(
+        "id", F.round("pagerank", 8).cast("double").alias("pagerank")
+    )
+
+
+def _pagerank_oracle(k: int = 5) -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, k + 1):
+        steps.append(f"""pr{i} AS (
+  SELECT n.id,
+         (1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * (COALESCE(c.contrib, 0)
+                   + (SELECT COALESCE(SUM(pr), 0) FROM {prev}
+                      WHERE id NOT IN (SELECT u FROM deg))
+                     / (SELECT n FROM nn)) AS pr
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.v AS id, SUM(p.pr / d.outd) AS contrib
+    FROM e JOIN {prev} p ON p.id = e.u JOIN deg d ON d.u = e.u
+    GROUP BY 1
+  ) c ON c.id = n.id
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH base AS (
+  SELECT 'c' || (o_custkey % 800) AS u, 'p' || (1 + o_orderkey % 1500) AS v
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+e AS (SELECT DISTINCT u, v FROM base),
+nodes AS (
+  SELECT DISTINCT id FROM (SELECT u AS id FROM e UNION SELECT v AS id FROM e)
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY 1),
+pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+{chain}
+SELECT id, CAST(ROUND(pr, 8) AS DOUBLE) AS pagerank FROM pr{k}
+"""
+
+
 QUERIES = {
     "edge_aggregation": q_edge_aggregation,
     "connected_components": q_connected_components,
+    "pagerank": q_pagerank,
     "node_features": q_node_features,
     "self_loops": q_self_loops,
     "mutual_pairs": q_mutual_pairs,
@@ -430,6 +483,7 @@ QUERIES = {
 ORACLES = {
     "edge_aggregation": ORACLE_EDGE_AGGREGATION,
     "connected_components": ORACLE_CONNECTED_COMPONENTS,
+    "pagerank": _pagerank_oracle(),
     "node_features": ORACLE_NODE_FEATURES,
     "self_loops": ORACLE_SELF_LOOPS,
     "mutual_pairs": ORACLE_MUTUAL_PAIRS,

@@ -198,3 +198,39 @@ def test_connected_components_matches_union_find(spark):
 def test_connected_components_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert graph.connected_components(df).count() == 0
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    """Random directed graph incl. a dangling node and a self-loop vs a
+    numpy dense power iteration of the identical formula."""
+    import random
+
+    rng = random.Random(11)
+    n = 40
+    edges = {(f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}")
+             for _ in range(120)}
+    edges.add(("v38", "v39"))  # ensure v39 exists even if never a source
+    edges = sorted(edges)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.pagerank
+           for r in graph.pagerank(df, n_iter=8).collect()}
+
+    ids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    nn = len(ids)
+    out = {v: 0 for v in ids}
+    for u, _ in edges:
+        out[u] += 1
+    pr = np.full(nn, 1.0 / nn)
+    d = 0.85
+    for _ in range(8):
+        nxt = np.full(nn, (1 - d) / nn)
+        dangling = sum(pr[idx[v]] for v in ids if out[v] == 0)
+        nxt += d * dangling / nn
+        for u, v in edges:
+            nxt[idx[v]] += d * pr[idx[u]] / out[u]
+        pr = nxt
+    assert set(got) == set(ids)
+    for v in ids:
+        assert abs(got[v] - pr[idx[v]]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
