@@ -234,3 +234,16 @@ def test_pagerank_matches_dense_power_iteration(spark):
     for v in ids:
         assert abs(got[v] - pr[idx[v]]) < 1e-12, v
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_connected_components_strategies_agree(spark):
+    """agg (skew-safe default) and window min strategies must label
+    identically — exercised on a hub graph plus chains."""
+    edges = [("hub", f"x{i:03d}") for i in range(50)]
+    edges += [(f"y{i}", f"y{i+1}") for i in range(20)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r.id: r.component
+         for r in graph.connected_components(df, min_strategy="agg").collect()}
+    b = {r.id: r.component
+         for r in graph.connected_components(df, min_strategy="window").collect()}
+    assert a == b and len(a) == 51 + 21

@@ -53,9 +53,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     failures = []
+    n_run = 0
     for name, fn in suite.QUERIES.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, SF_DIR)
             s_cols = sdf.columns
@@ -93,7 +95,8 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"OK   {name}: rows={len(s_rows)}")
-    print(f"\n{len(suite.QUERIES) - len(failures)}/{len(suite.QUERIES)} queries match")
+    print(f"\n{n_run - len(failures)}/{n_run} queries match"
+          + ("" if not only else f" (of {len(suite.QUERIES)} registered)"))
     return 1 if failures else 0
 
 
