@@ -32,21 +32,34 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per document: (id, shingle).
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """n-token shingles per document: (id, shingle) — distinct per doc by
+    default (set distinct=False to keep every occurrence, e.g. for
+    repetition scoring).
 
     element_at is 1-based; sequence(1, size-n+1) yields one window start
     per shingle. Runs entirely in whole-stage codegen — no UDF.
     """
     tok = tokens(df, id_col, text_col)
     parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    # the size guard matters: sequence(1, 0) is DESCENDING [1, 0] in
+    # Spark, so a doc shorter than n tokens would hit element_at(toks, 0)
+    # (invalid index) instead of yielding nothing
     sh = tok.select(
         "id",
         F.explode(
-            F.expr(f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), i -> concat_ws(' ', {parts}))")
+            F.expr(
+                f"IF(size(toks) >= {n}, "
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat_ws(' ', {parts})), "
+                "array())"
+            )
         ).alias("shingle"),
     )
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -344,4 +357,59 @@ def simhash_neardup(
         cand.withColumn("hamming", hamming64(F.col("__ha__"), F.col("__hb__")))
         .filter(F.col("hamming") <= max_hamming)
         .drop("__ha__", "__hb__")
+    )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: (id, n_hit_ngrams, contaminated) — a
+    corpus document is contaminated when it shares at least one n-token
+    shingle with ANY benchmark document (the GPT-3/PaLM style 13-gram
+    overlap rule for keeping eval sets out of training data).
+
+    Scale shape: the benchmark shingle set is distinct'ed, md5-compacted
+    and (by default) BROADCAST — eval suites are thousands of documents,
+    so their shingle set is MBs against a corpus of billions of docs; the
+    corpus side is a map-only semi-match, no corpus shuffle at all. With
+    broadcast_benchmark=False the match is an equi-join on the 32-char
+    digest, never on raw (~80-char at n=13) shingle strings. n_hit_ngrams
+    counts the doc's DISTINCT overlapping shingles — the triage signal
+    for partial-overlap review.
+    """
+    bench_sh = (
+        shingles(
+            benchmark,
+            bench_id_col or id_col,
+            bench_text_col or text_col,
+            n,
+        )
+        .select(F.md5("shingle").alias("sh_md5"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    corp_sh = shingles(corpus, id_col, text_col, n).select(
+        "id", F.md5("shingle").alias("sh_md5")
+    )
+    hits = (
+        corp_sh.join(bench_sh, "sh_md5", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
     )

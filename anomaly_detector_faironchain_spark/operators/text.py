@@ -119,3 +119,49 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.sha2(F.col(text_col), 256).alias("sha256_hex"),
         rolling.alias("rolling_fp"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals over n-grams:
+    (id, n_ngrams, n_distinct_ngrams, dup_ngram_frac, top_ngram_frac).
+
+    dup_ngram_frac = 1 − distinct/total (share of n-gram occurrences
+    that are repeats); top_ngram_frac = the most frequent n-gram's share
+    — the two thresholds MassiveText-class quality filters cut on.
+    Documents shorter than n tokens emit zeros.
+
+    Scale shape: one explode → two-level hash aggregation keyed by
+    (id, shingle) then id — both stages partial-aggregate map-side, and
+    nothing wider than (id, shingle-string, count) ever shuffles. Pure
+    codegen, no UDF.
+    """
+    from anomaly_detector_faironchain_spark.operators.dedup import shingles
+
+    per = (
+        shingles(df, id_col, text_col, n, distinct=False)
+        .groupBy("id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per.groupBy("id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        F.max("c").alias("top_c"),
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(stats, "id", "left").select(
+        "id",
+        F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+        F.coalesce("n_distinct_ngrams", F.lit(0)).alias("n_distinct_ngrams"),
+        F.when(
+            F.col("n_ngrams").isNull() | (F.col("n_ngrams") == 0), F.lit(0.0)
+        ).otherwise(
+            F.round(1.0 - F.col("n_distinct_ngrams") / F.col("n_ngrams"), 6)
+        ).alias("dup_ngram_frac"),
+        F.when(
+            F.col("n_ngrams").isNull() | (F.col("n_ngrams") == 0), F.lit(0.0)
+        ).otherwise(
+            F.round(F.col("top_c") / F.col("n_ngrams"), 6)
+        ).alias("top_ngram_frac"),
+    )

@@ -773,8 +773,99 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (13-gram-style overlap; n=5 at test scale)
+# ---------------------------------------------------------------------------
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    return dedup.contamination_flags(
+        docs, bench, "doc_id", "text",
+        bench_id_col="bid", bench_text_col="btext", n=5,
+    ).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_hit_ngrams").cast("long").alias("n_hit_ngrams"),
+        "contaminated",
+    )
+
+
+ORACLE_CONTAMINATION_CHECK = """
+WITH ctok AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+csh AS (
+  SELECT DISTINCT id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] AS shingle
+  FROM ctok, UNNEST(generate_series(1, len(toks) - 4)) AS g(i)
+  WHERE len(toks) >= 5
+),
+bsh AS (
+  SELECT DISTINCT shingle FROM csh WHERE id % 37 = 0
+),
+hits AS (
+  SELECT id, COUNT(*) AS n_hit FROM csh
+  WHERE shingle IN (SELECT shingle FROM bsh)
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_ngrams,
+       COALESCE(h.n_hit, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.repetition_stats(docs, "doc_id", "text", n=2).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_distinct_ngrams").cast("long").alias("n_distinct_ngrams"),
+        F.col("dup_ngram_frac").cast("double").alias("dup_ngram_frac"),
+        F.col("top_ngram_frac").cast("double").alias("top_ngram_frac"),
+    )
+
+
+ORACLE_REPETITION_STATS = """
+WITH tok AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT id, toks[i] || ' ' || toks[i+1] AS shingle
+  FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2
+),
+per AS (SELECT id, shingle, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+st AS (
+  SELECT id, SUM(c) AS n_ngrams, COUNT(*) AS n_distinct, MAX(c) AS top_c
+  FROM per GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       CAST(COALESCE(st.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(st.n_distinct, 0) AS BIGINT) AS n_distinct_ngrams,
+       CASE WHEN COALESCE(st.n_ngrams, 0) = 0 THEN 0.0
+            ELSE CAST(ROUND(1 - st.n_distinct * 1.0 / st.n_ngrams, 6) AS DOUBLE)
+       END AS dup_ngram_frac,
+       CASE WHEN COALESCE(st.n_ngrams, 0) = 0 THEN 0.0
+            ELSE CAST(ROUND(st.top_c * 1.0 / st.n_ngrams, 6) AS DOUBLE)
+       END AS top_ngram_frac
+FROM documents d LEFT JOIN st ON st.id = d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "contamination_check": q_contamination_check,
+    "repetition_stats": q_repetition_stats,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "neardup_clusters": q_neardup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -795,6 +886,8 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "contamination_check": ORACLE_CONTAMINATION_CHECK,
+    "repetition_stats": ORACLE_REPETITION_STATS,
     "minhash_lsh_neardup": _minhash_oracle(),
     "neardup_clusters": _neardup_clusters_oracle(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

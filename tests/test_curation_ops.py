@@ -270,3 +270,65 @@ def test_simhash_neardup_bucket_cap_bounds_fanout(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert all(x not in range(30) and y not in range(30) for x, y in got)
     assert (100, 101) in got  # the small bucket's pair survives
+
+
+def test_shingles_short_docs_yield_nothing(spark):
+    """Docs shorter than n tokens emit zero shingles instead of erroring
+    (sequence(1, 0) is descending in Spark — the guard matters)."""
+    from anomaly_detector_faironchain_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two"), (3, "one"), (4, " ")],
+        "doc_id long, text string",
+    )
+    got = dedup.shingles(df, "doc_id", "text", n=3).collect()
+    assert {r.id for r in got} == {1}
+    assert len(got) == 2
+
+
+def test_contamination_flags_marks_overlapping_docs(spark):
+    from anomaly_detector_faironchain_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words with no overlap at all here"),
+            (3, "prefix text then the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bid long, btext string",
+    )
+    got = {
+        r.id: (r.n_hit_ngrams, r.contaminated)
+        for r in dedup.contamination_flags(
+            corpus, bench, "doc_id", "text",
+            bench_id_col="bid", bench_text_col="btext", n=5,
+        ).collect()
+    }
+    # bench has 5 5-grams; doc1 contains all 5, doc3 contains all 5,
+    # doc2 none
+    assert got[1] == (5, True)
+    assert got[2] == (0, False)
+    assert got[3] == (5, True)
+
+
+def test_repetition_stats_fractions(spark):
+    from anomaly_detector_faironchain_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "w x y z"),          # 3 distinct of 3
+            (3, "t"),                # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in text_ops.repetition_stats(df, "doc_id", "text", n=2).collect()}
+    assert (got[1].n_ngrams, got[1].n_distinct_ngrams) == (5, 2)
+    assert abs(got[1].dup_ngram_frac - 0.6) < 1e-9
+    assert abs(got[1].top_ngram_frac - 0.6) < 1e-9
+    assert got[2].dup_ngram_frac == 0.0
+    assert got[3].n_ngrams == 0 and got[3].dup_ngram_frac == 0.0
