@@ -165,3 +165,72 @@ def repetition_stats(
             F.round(F.col("top_c") / F.col("n_ngrams"), 6)
         ).alias("top_ngram_frac"),
     )
+
+
+# Patterns deliberately stay in the RE2-compatible subset (no lookaround,
+# no backrefs) so Spark (Java regex) and any RE2 engine — including the
+# DuckDB oracle — agree match-for-match.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, id_col: str, text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Mask PII spans: (id, redacted_text, n_email, n_phone, n_ssn, …).
+
+    Each pattern is replaced by |||KIND||| and its match count reported —
+    the Dolma-style masking pass a training pipeline runs before
+    tokenization. Map-only pure codegen (regexp_replace +
+    regexp_extract_all); document bodies never shuffle. Order matters:
+    SSN masks before phone, whose pattern would otherwise eat the last
+    9 digits of a 3-2-4 SSN.
+    """
+    pats = patterns or PII_PATTERNS
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0)))
+        .alias(f"n_{kind}")
+        for kind, p in pats.items()
+    ]
+    red = F.col(text_col)
+    for kind in ("ssn", "phone", "email"):
+        if kind in pats:
+            red = F.regexp_replace(red, pats[kind], f"|||{kind.upper()}|||")
+    for kind, p in pats.items():
+        if kind not in ("ssn", "phone", "email"):
+            red = F.regexp_replace(red, p, f"|||{kind.upper()}|||")
+    return df.select(
+        F.col(id_col).alias("id"), red.alias("redacted_text"), *counts
+    )
+
+
+def c4_line_filter(
+    df: DataFrame, id_col: str, text_col: str,
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning: (id, clean_text, n_lines,
+    n_kept_lines). A line survives when it ends in terminal punctuation
+    (. ! ? ") AND has at least min_words whitespace words; survivors are
+    rejoined with newlines in original order.
+
+    Entirely array builtins (split → filter lambda → array_join): a
+    map-only projection with zero shuffles and no UDF — line filtering at
+    corpus scale is embarrassingly parallel and should never leave the
+    scan stage.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    keep = F.filter(
+        lines,
+        lambda x: x.rlike(r'[.!?"]\s*$')
+        & (F.size(F.split(F.trim(x), r"\s+")) >= min_words),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(keep, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(keep).alias("n_kept_lines"),
+    )

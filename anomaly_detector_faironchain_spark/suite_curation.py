@@ -862,10 +862,109 @@ FROM documents d LEFT JOIN st ON st.id = d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction + C4-style line filtering (deterministically injected
+# PII / noise lines, since the corpus itself is clean)
+# ---------------------------------------------------------------------------
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact u"), F.col("doc_id"),
+                         F.lit("@mail.example.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" id 987-65-4321"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text_ops.redact_pii(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("id"),
+        "redacted_text",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+    )
+
+
+ORACLE_PII_REDACTION = """
+WITH aug AS (
+  SELECT doc_id AS id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact u' || doc_id || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' id 987-65-4321' ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT CAST(id AS BIGINT) AS id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '|||SSN|||', 'g'),
+           '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '|||PHONE|||', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '|||EMAIL|||', 'g')
+       AS redacted_text,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn
+FROM aug
+"""
+
+
+def q_line_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nmenu home about\nA proper closing sentence."),
+        ).alias("text"),
+    )
+    return text_ops.c4_line_filter(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("id"),
+        "clean_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+    )
+
+
+ORACLE_LINE_FILTERING = """
+WITH aug AS (
+  SELECT doc_id AS id,
+         text || chr(10) || 'menu home about' || chr(10)
+              || 'A proper closing sentence.' AS text
+  FROM documents
+),
+l AS (SELECT id, string_split(text, chr(10)) AS lines FROM aug),
+k AS (
+  SELECT id, lines,
+         list_filter(
+           lines,
+           x -> regexp_matches(x, '[.!?"]\\s*$')
+                AND len(string_split_regex(trim(x), '\\s+')) >= 3
+         ) AS kept
+  FROM l
+)
+SELECT CAST(id AS BIGINT) AS id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines
+FROM k
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "contamination_check": q_contamination_check,
     "repetition_stats": q_repetition_stats,
+    "pii_redaction": q_pii_redaction,
+    "line_filtering": q_line_filtering,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "neardup_clusters": q_neardup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -888,6 +987,8 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "repetition_stats": ORACLE_REPETITION_STATS,
+    "pii_redaction": ORACLE_PII_REDACTION,
+    "line_filtering": ORACLE_LINE_FILTERING,
     "minhash_lsh_neardup": _minhash_oracle(),
     "neardup_clusters": _neardup_clusters_oracle(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

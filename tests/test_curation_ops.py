@@ -332,3 +332,45 @@ def test_repetition_stats_fractions(spark):
     assert abs(got[1].top_ngram_frac - 0.6) < 1e-9
     assert got[2].dup_ngram_frac == 0.0
     assert got[3].n_ngrams == 0 and got[3].dup_ngram_frac == 0.0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from anomaly_detector_faironchain_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@corp.example.org or call 555-867-5309"),
+            (2, "ssn 123-45-6789 should mask as ssn not phone"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in text_ops.redact_pii(df, "doc_id", "text").collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1 and got[1].n_ssn == 0
+    assert "|||EMAIL|||" in got[1].redacted_text
+    assert "|||PHONE|||" in got[1].redacted_text
+    assert "alice" not in got[1].redacted_text
+    # SSN masks before the phone pattern can eat its tail digits
+    assert got[2].redacted_text == "ssn |||SSN||| should mask as ssn not phone"
+    assert got[2].n_ssn == 1
+    assert got[3].redacted_text == "nothing sensitive here"
+
+
+def test_c4_line_filter_keeps_terminal_punct_lines(spark):
+    from anomaly_detector_faironchain_spark.operators import text as text_ops
+
+    doc = "\n".join([
+        "This is a proper sentence.",       # kept
+        "menu home about",                   # dropped: no terminal punct
+        "Click!",                            # dropped: < 3 words
+        'He said "stop right there."',       # kept (quote end)
+        "Is this kept too?",                 # kept
+    ])
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = text_ops.c4_line_filter(df, "doc_id", "text").collect()[0]
+    assert r.n_lines == 5 and r.n_kept_lines == 3
+    assert r.clean_text.split("\n") == [
+        "This is a proper sentence.",
+        'He said "stop right there."',
+        "Is this kept too?",
+    ]
