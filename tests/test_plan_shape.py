@@ -203,3 +203,43 @@ def test_scan_count_constant_in_constraint_count(spark, n_constraints):
 
     p = plan(stats.profile_table(li, spec))
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+
+
+def test_map_only_text_ops_have_no_exchange(spark):
+    """redact_pii and c4_line_filter are projections — any Exchange in
+    their plan means bodies are shuffling for a per-row transform."""
+    from anomaly_detector_faironchain_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(text_ops.redact_pii(docs, "doc_id", "text"))
+    assert ") Exchange" not in p, p
+    # "*" prefix = the node runs inside whole-stage codegen
+    assert "* Project" in p, p
+    # the line filter's higher-order lambda runs OUTSIDE whole-stage
+    # codegen (Spark evaluates HOFs as interpreted expressions) but is
+    # still a JVM-side map-only Project — the no-shuffle claim is the
+    # one that matters at scale
+    p = plan(text_ops.c4_line_filter(docs, "doc_id", "text"))
+    assert ") Exchange" not in p, p
+
+
+def test_contamination_broadcasts_benchmark_and_never_shuffles_text(spark):
+    """The benchmark shingle set rides a BroadcastExchange; the corpus
+    text column must not cross any shuffle Exchange (the corpus side of
+    the semi-match is map-only; only (id, digest) ever aggregates)."""
+    from anomaly_detector_faironchain_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    q = dedup.contamination_flags(docs, bench, "doc_id", "text", n=5)
+    p = plan(q)
+    assert "BroadcastExchange" in p
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if ") Exchange" in ln:
+            for nxt in lines[i + 1:i + 4]:
+                if nxt.strip().startswith("Input"):
+                    assert "text#" not in nxt, (
+                        "corpus text crossed a shuffle:\n" + p
+                    )
+                    break
