@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from anomaly_detector_faironchain_spark.operators import (
     dedup,
+    fuzzy,
     graph,
     multimodal,
     similarity,
@@ -959,12 +960,81 @@ FROM k
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact fuzzy key matching (FastSS deletion neighborhoods): a "dirty"
+# side with deterministic one-character deletions resolved back against
+# the clean customer names
+# ---------------------------------------------------------------------------
+
+_TYPO = (
+    "concat(substring(c_name, 1, cast(c_custkey % length(c_name) as int)), "
+    "substring(c_name, cast(c_custkey % length(c_name) as int) + 2, "
+    "length(c_name)))"
+)
+
+
+def q_fuzzy_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") <= 150
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("cid"), F.col("c_name").alias("ckey")
+    )
+    dirty = cust.select(
+        (F.col("c_custkey") + 1000).alias("did"),
+        F.when(F.col("c_custkey") % 3 == 0, F.expr(_TYPO))
+        .otherwise(F.col("c_name")).alias("dkey"),
+    )
+    return fuzzy.fuzzy_key_join(
+        dirty, clean, "did", "dkey", "cid", "ckey", max_dist=1
+    ).select(
+        F.col("id_l").cast("long").alias("id_l"),
+        F.col("id_r").cast("long").alias("id_r"),
+        "key_l", "key_r",
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+ORACLE_FUZZY_KEY_MATCH = """
+WITH cust AS (SELECT * FROM customer WHERE c_custkey <= 150),
+clean AS (SELECT c_custkey AS id, c_name AS key FROM cust),
+dirty AS (
+  SELECT c_custkey + 1000 AS id,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substr(c_name, 1, CAST(c_custkey % len(c_name) AS INT))
+                   || substr(c_name, CAST(c_custkey % len(c_name) AS INT) + 2)
+              ELSE c_name END AS key
+  FROM cust
+),
+vl AS (
+  SELECT id, key, key AS var FROM dirty
+  UNION
+  SELECT id, key, substr(key, 1, i - 1) || substr(key, i + 1)
+  FROM dirty, UNNEST(generate_series(1, len(key))) AS g(i)
+),
+vr AS (
+  SELECT id, key, key AS var FROM clean
+  UNION
+  SELECT id, key, substr(key, 1, i - 1) || substr(key, i + 1)
+  FROM clean, UNNEST(generate_series(1, len(key))) AS g(i)
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_l, r.id AS id_r, l.key AS key_l, r.key AS key_r
+  FROM vl l JOIN vr r USING (var)
+)
+SELECT CAST(id_l AS BIGINT) AS id_l, CAST(id_r AS BIGINT) AS id_r,
+       key_l, key_r, CAST(levenshtein(key_l, key_r) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(key_l, key_r) <= 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "contamination_check": q_contamination_check,
     "repetition_stats": q_repetition_stats,
     "pii_redaction": q_pii_redaction,
     "line_filtering": q_line_filtering,
+    "fuzzy_key_match": q_fuzzy_key_match,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "neardup_clusters": q_neardup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -989,6 +1059,7 @@ ORACLES = {
     "repetition_stats": ORACLE_REPETITION_STATS,
     "pii_redaction": ORACLE_PII_REDACTION,
     "line_filtering": ORACLE_LINE_FILTERING,
+    "fuzzy_key_match": ORACLE_FUZZY_KEY_MATCH,
     "minhash_lsh_neardup": _minhash_oracle(),
     "neardup_clusters": _neardup_clusters_oracle(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -374,3 +374,41 @@ def test_c4_line_filter_keeps_terminal_punct_lines(spark):
         'He said "stop right there."',
         "Is this kept too?",
     ]
+
+
+def test_fuzzy_key_join_matches_bruteforce(spark):
+    """FastSS deletion-neighborhood join vs brute-force python
+    levenshtein over all cross pairs — exact at d=1 and d=2."""
+    from anomaly_detector_faironchain_spark.operators import fuzzy
+
+    left = [(i, k) for i, k in enumerate(
+        ["alpha", "alphq", "alpa", "beta", "betta", "gamma", "delta", ""]
+    )]
+    right = [(100 + i, k) for i, k in enumerate(
+        ["alpha", "lpha", "bta", "gamm", "gamora", "epsilon", "x"]
+    )]
+    ldf = spark.createDataFrame(left, "lid long, lkey string")
+    rdf = spark.createDataFrame(right, "rid long, rkey string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    for d in (1, 2):
+        got = {
+            (r.id_l, r.id_r, r.dist)
+            for r in fuzzy.fuzzy_key_join(
+                ldf, rdf, "lid", "lkey", "rid", "rkey", max_dist=d
+            ).collect()
+        }
+        want = {
+            (i, j, lev(a, b))
+            for i, a in left for j, b in right if lev(a, b) <= d
+        }
+        assert got == want, f"d={d}"
