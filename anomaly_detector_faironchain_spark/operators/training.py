@@ -196,3 +196,59 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def mix_corpora(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    seed: str = "mix",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic source-weighted training mixture: each document is
+    emitted ``floor(w)`` times plus once more for a hash-chosen
+    ``frac(w)`` fraction of its source, with an ``epoch`` column (1..k)
+    distinguishing the repeats — the up/down-sampling step that turns
+    per-source quality decisions into a training mix (0.5 = keep half,
+    2.5 = two full epochs plus a half epoch).
+
+    Same machinery as deterministic_split: the keep/extra-copy decision
+    is a string comparison on a 4-hex md5 prefix of (seed, source, id) —
+    no RNG, no shuffle, identical on any engine with standard md5, and
+    re-running with the same seed reproduces the exact mixture. Map-only:
+    the explode multiplies rows in place; nothing is sampled via
+    df.sample (whose seed is partition-layout-dependent and therefore
+    NOT stable across repartitioning).
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("weights must be non-negative")
+
+    def frac_hex(w: float) -> str:
+        return format(min(int((w - int(w)) * 65536), 65535), "04x")
+
+    src = F.col(source_col)
+    base = F.lit(int(default_weight))
+    thresh = F.lit(frac_hex(default_weight))
+    for name, w in weights.items():
+        base = F.when(src == name, F.lit(int(w))).otherwise(base)
+        thresh = F.when(src == name, F.lit(frac_hex(w))).otherwise(thresh)
+    prefix = F.substring(
+        F.md5(F.concat(
+            F.lit(f"{seed}:"), src, F.lit(":"),
+            F.col(id_col).cast("string"),
+        )), 1, 4,
+    )
+    copies = (base + (prefix < thresh).cast("int")).alias("__copies__")
+    # the copies > 0 filter must precede the explode: sequence(1, 0) is
+    # DESCENDING in Spark, not empty
+    return (
+        df.withColumn("__copies__", copies)
+        .filter(F.col("__copies__") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(1), F.col("__copies__"))),
+        )
+        .drop("__copies__")
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from anomaly_detector_faironchain_spark.operators.training import (
     chunk_documents,
     deterministic_split,
+    mix_corpora,
     pack_token_budget,
     split_thresholds,
     stratified_sample,
@@ -139,8 +140,45 @@ FROM (
 """
 
 
+# -- source-weighted mixture: 2.5 epochs of src0, half of src1, none of
+#    src2, one of everything else; epochs label the repeats ---------------
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_corpora(
+        docs, "source", "doc_id",
+        {"src0": 2.5, "src1": 0.5, "src2": 0.0},
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+
+
+# 0.5 -> '8000' (frac thresholds as in mix_corpora); default weight 1.0
+ORACLE_CORPUS_MIXTURE = """
+WITH c AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                     WHEN 'src2' THEN 0 ELSE 1 END
+         + CASE WHEN substr(
+                  md5('mix:' || source || ':' || CAST(doc_id AS VARCHAR)),
+                  1, 4)
+                < CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '8000'
+                              WHEN 'src2' THEN '0000' ELSE '0000' END
+           THEN 1 ELSE 0 END AS copies
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(e AS BIGINT) AS epoch
+FROM c, UNNEST(generate_series(1, copies)) AS g(e)
+WHERE copies > 0
+"""
+
+
 QUERIES = {
     "train_split": q_train_split,
+    "corpus_mixture": q_corpus_mixture,
     "doc_chunks": q_doc_chunks,
     "token_packing": q_token_packing,
     "top_terms": q_top_terms,
@@ -148,6 +186,7 @@ QUERIES = {
 }
 ORACLES = {
     "train_split": ORACLE_TRAIN_SPLIT,
+    "corpus_mixture": ORACLE_CORPUS_MIXTURE,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "token_packing": ORACLE_TOKEN_PACKING,
     "top_terms": ORACLE_TOP_TERMS,

@@ -128,3 +128,30 @@ def test_chunking_plan_is_map_only(spark):
         chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # bodies never shuffle
+
+
+def test_mix_corpora_weights_and_determinism(spark):
+    from anomaly_detector_faironchain_spark.operators import training
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    weights = {"s0": 2.0, "s1": 0.5, "s2": 0.0}
+    out = training.mix_corpora(df, "source", "doc_id", weights)
+    rows = out.groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in rows}
+    assert got["s0"] == 2000          # exactly 2 epochs, no fraction
+    assert "s2" not in got            # dropped entirely
+    assert abs(got["s1"] - 500) < 80  # ~half of 1000 kept
+    assert got["s3"] == 1000          # default weight 1.0
+    # epochs label the repeats
+    e = out.filter(F.col("source") == "s0").groupBy("epoch").count().collect()
+    assert {r.epoch: r["count"] for r in e} == {1: 1000, 2: 1000}
+    # deterministic: identical output on re-run
+    a = sorted((r.doc_id, r.epoch) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.epoch)
+        for r in training.mix_corpora(df, "source", "doc_id", weights).collect()
+    )
+    assert a == b
