@@ -192,3 +192,43 @@ def profile_table(
         df.groupBy(partition_expr(spec).alias("partition_id"))
         .agg(*profile_aggs(df, spec, include_violation_counts))
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 20
+) -> DataFrame:
+    """Pre-join skew diagnostic for a prospective join/groupBy key:
+    the top_n heaviest keys with count, frequency share, and the
+    multiple of a perfectly uniform key's share
+    (skew_x = share × n_distinct — 1.0 means flat, 10³ means that key
+    alone is a thousand uniform keys' worth of shuffle).
+
+    Run this BEFORE a big join to decide broadcast vs salt vs AQE: the
+    decision needs only the head of the frequency distribution, which is
+    exactly what this computes — one map-side-combined count aggregation,
+    a 1-row total/distinct aggregate broadcast back, and a
+    TakeOrderedAndProject head; the full key distribution is never
+    sorted or collected.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("double").alias("__total__"),
+        F.count(F.lit(1)).cast("double").alias("__distinct__"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("__total__"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("__distinct__") / F.col("__total__"), 4
+            ).alias("skew_x"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_n)
+    )

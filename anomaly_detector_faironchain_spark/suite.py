@@ -844,3 +844,27 @@ ORACLES.update({
     "whitelist_flag": ORACLE_WHITELIST_FLAG,
     "sessionization": ORACLE_SESSIONIZATION,
 })
+
+
+# -- join-planning diagnostic: key skew profile ----------------------------
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.key_skew_profile(li, "l_partkey", top_n=20)
+
+
+ORACLE_KEY_SKEW = """
+WITH c AS (SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+t AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS nd
+  FROM c
+)
+SELECT CAST(key AS BIGINT) AS key, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROUND(cnt / total, 6) AS DOUBLE) AS share,
+       CAST(ROUND(cnt * nd / total, 4) AS DOUBLE) AS skew_x
+FROM c, t ORDER BY cnt DESC, key ASC LIMIT 20
+"""
+
+QUERIES.update({"key_skew": q_key_skew})
+ORACLES.update({"key_skew": ORACLE_KEY_SKEW})
