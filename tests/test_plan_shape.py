@@ -100,11 +100,17 @@ def test_no_collect_based_operators_in_verdict_path(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     part = spark.read.parquet(f"{SF}/part.parquet")
     tracker = spark.sparkContext.statusTracker()
-    before = tracker.getJobIdsForGroup(None)
-    res = validate_table(li, lineitem_spec(), refs={"part": part},
-                         materialize_violations=False)
-    after = tracker.getJobIdsForGroup(None)
-    assert len(after) == len(before), "building the plan must not run jobs"
+    # a dedicated job group isolates this audit from async jobs (AQE
+    # broadcast builds) other tests may still be registering — counting
+    # the global group races against them
+    spark.sparkContext.setJobGroup("plan-build-audit", "plan build audit")
+    try:
+        res = validate_table(li, lineitem_spec(), refs={"part": part},
+                             materialize_violations=False)
+        ran = tracker.getJobIdsForGroup("plan-build-audit")
+        assert len(ran) == 0, "building the plan must not run jobs"
+    finally:
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
     assert res.verdicts.count() > 0
 
 
