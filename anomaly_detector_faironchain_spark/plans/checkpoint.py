@@ -283,3 +283,68 @@ def run_with_checkpoint(
         )
     _write_manifests(out_dir, spec, result, time.time() - t0, input_path)
     return result
+
+
+DIGEST_DIR = "content_digests"
+
+
+def dedup_against_history(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Cross-RUN exact dedup through the checkpoint dir — the batch
+    analogue of the streaming state-store dedup: each run's content
+    digests are persisted under ``content_digests/run_id=…``, and the
+    next run's documents are flagged against everything seen before.
+
+    Returns (id, content_md5, is_cross_run_dup, first_seen_run) for THIS
+    batch, where is_cross_run_dup marks digests already present in a
+    PREVIOUS run (within-batch duplicates are exact_dedup's job and stay
+    unflagged here). After flagging, this run's previously-unseen
+    digests are appended so the index grows by exactly the novel
+    content.
+
+    Scale shape: only (digest, run_id) pairs are ever stored or
+    shuffled — 32 bytes per novel document, never bodies; the flag join
+    and the novelty anti-join share one digest-keyed exchange pattern.
+    The flag frame is written to parquet under ``dedup_flags/`` BEFORE
+    the index append and re-read from disk — returning the lazy plan
+    would silently re-scan the grown index and flag this run's own
+    digests as duplicates.
+    """
+    rid = run_id or f"{int(time.time()):012d}"
+    spark = df.sparkSession
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_md5")
+    )
+    idx_path = Path(out_dir) / DIGEST_DIR
+    if idx_path.is_dir():
+        hist = (
+            spark.read.parquet(str(idx_path))
+            .groupBy("content_md5")
+            .agg(F.min("run_id").alias("first_seen_run"))
+        )
+    else:
+        hist = spark.createDataFrame(
+            [], "content_md5 string, first_seen_run string"
+        )
+    flags = hashed.join(hist, "content_md5", "left").select(
+        "id",
+        "content_md5",
+        F.col("first_seen_run").isNotNull().alias("is_cross_run_dup"),
+        "first_seen_run",
+    )
+    flags_path = Path(out_dir) / "dedup_flags" / f"run_id={rid}"
+    flags.write.mode("overwrite").parquet(str(flags_path))
+    flags = spark.read.parquet(str(flags_path))
+    novel = (
+        flags.filter(~F.col("is_cross_run_dup"))
+        .select("content_md5")
+        .distinct()
+        .withColumn("run_id", F.lit(rid))
+    )
+    novel.write.mode("append").parquet(str(idx_path))
+    return flags

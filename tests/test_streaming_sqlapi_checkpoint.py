@@ -318,3 +318,37 @@ def test_drift_reference_refuses_changed_binning(spark, tmp_path):
     r = run_with_checkpoint(b1.unionAll(b2), mk(100.0), out)
     v = r.verdicts.collect()
     assert len(v) == 1 and v[0].passed
+
+
+def test_cross_run_dedup_through_checkpoint(spark, tmp_path):
+    """Run 2 flags exactly the documents whose content run 1 already
+    indexed; run 3 sees run 2's novel content too. Within-batch dups
+    stay unflagged (exact_dedup's job, not this one)."""
+    from anomaly_detector_faironchain_spark.plans.checkpoint import (
+        dedup_against_history,
+    )
+
+    out = str(tmp_path / "dd")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],  # within-batch dup
+        "doc_id long, text string",
+    )
+    f1 = {r.id: r.is_cross_run_dup
+          for r in dedup_against_history(b1, "doc_id", "text", out, "r1").collect()}
+    assert f1 == {1: False, 2: False, 3: False}
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")],
+        "doc_id long, text string",
+    )
+    f2 = {r.id: (r.is_cross_run_dup, r.first_seen_run)
+          for r in dedup_against_history(b2, "doc_id", "text", out, "r2").collect()}
+    assert f2 == {10: (True, "r1"), 11: (False, None)}
+
+    b3 = spark.createDataFrame(
+        [(20, "gamma"), (21, "beta"), (22, "delta")],
+        "doc_id long, text string",
+    )
+    f3 = {r.id: (r.is_cross_run_dup, r.first_seen_run)
+          for r in dedup_against_history(b3, "doc_id", "text", out, "r3").collect()}
+    assert f3 == {20: (True, "r2"), 21: (True, "r1"), 22: (False, None)}
