@@ -413,3 +413,74 @@ def contamination_flags(
             (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_tokens: int = 10,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Passage-level boilerplate removal: split each document into
+    fixed-size non-overlapping token passages, count in how many DISTINCT
+    documents each passage occurs, and rebuild every document with the
+    passages that occur in more than ``max_docs`` documents removed —
+    the exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499) at passage
+    granularity, which is what strips license headers, navigation chrome
+    and shared footers out of a crawl corpus. Like the paper's variant it
+    removes ALL occurrences of a repeated passage, not all-but-one.
+
+    Returns (id, n_passages, n_removed, clean_text); clean_text is null
+    when every passage was boilerplate.
+
+    Scale shape: the frequency count shuffles (md5, id) pairs only —
+    never passage text — and the boilerplate SET is small (only passages
+    repeated across >max_docs documents survive the filter; random text
+    never collides at 10 tokens), so it broadcasts. The corpus then takes
+    exactly one explode → broadcast-join → groupBy(id) rebuild, i.e. a
+    single shuffle of the corpus keyed by doc id. md5 keeps the DuckDB
+    oracle exact; at 100 TB swap it for xxhash64 (8-byte keys) — the
+    join key never leaves the engine.
+
+    Reference analogue: dedup-by-key (SURVEY A2/A3,
+    build_abstract_transaction.py:43) generalized from whole rows to
+    sub-document units.
+    """
+    p = int(passage_tokens)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    passages = F.expr(
+        f"transform(sequence(1, CAST(ceil(size(toks) / {p}.0) AS INT)), "
+        f"i -> array_join(slice(toks, (i - 1) * {p} + 1, {p}), ' '))"
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .select("id", F.posexplode(passages).alias("pos", "passage"))
+        .withColumn("h", F.md5("passage"))
+    )
+    boiler = (
+        exploded.groupBy("h")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("h", F.lit(True).alias("is_boiler"))
+    )
+    flagged = exploded.join(F.broadcast(boiler), "h", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    kept = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("pos"), F.col("passage"))
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s.passage
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )

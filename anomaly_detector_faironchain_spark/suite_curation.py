@@ -1028,8 +1028,67 @@ FROM cand WHERE levenshtein(key_l, key_r) <= 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Passage-level boilerplate removal (exact substring dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+# exactly 10 tokens each, so they align to the passage grid when prepended
+_PD_HDR = "license header text copyright notice all rights reserved do not"
+_PD_BLK = "this file was generated automatically from shared template sources"
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc gets the 10-token license header; every third doc also
+    gets a second shared 10-token block — both land on passage
+    boundaries, occur in > max_docs documents, and must be stripped while
+    the unique body passages survive."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws(
+            " ",
+            F.lit(_PD_HDR),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_PD_BLK)),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return dedup.passage_dedup(
+        aug, "id", "text", passage_tokens=10, max_docs=2
+    ).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_passages").cast("long").alias("n_passages"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "clean_text",
+    )
+
+
+ORACLE_PASSAGE_DEDUP = f"""
+WITH aug AS (
+  SELECT doc_id AS id,
+         concat_ws(' ', '{_PD_HDR}',
+                   CASE WHEN doc_id % 3 = 0 THEN '{_PD_BLK}' END,
+                   text) AS text
+  FROM documents
+),
+t AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM aug),
+p AS (
+  SELECT id, i - 1 AS pos,
+         array_to_string(list_slice(toks, (i - 1) * 10 + 1, i * 10), ' ') AS passage
+  FROM t, UNNEST(generate_series(1, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS g(i)
+),
+b AS (SELECT md5(passage) AS h FROM p GROUP BY 1 HAVING count(DISTINCT id) > 2),
+f AS (SELECT id, pos, passage, md5(passage) IN (SELECT h FROM b) AS is_boiler FROM p)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       string_agg(CASE WHEN NOT is_boiler THEN passage END, ' ' ORDER BY pos) AS clean_text
+FROM f GROUP BY id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "passage_dedup": q_passage_dedup,
     "contamination_check": q_contamination_check,
     "repetition_stats": q_repetition_stats,
     "pii_redaction": q_pii_redaction,
@@ -1055,6 +1114,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "pii_redaction": ORACLE_PII_REDACTION,

@@ -412,3 +412,40 @@ def test_fuzzy_key_join_matches_bruteforce(spark):
             for i, a in left for j, b in right if lev(a, b) <= d
         }
         assert got == want, f"d={d}"
+
+
+def test_passage_dedup_strips_shared_passages_only(spark):
+    hdr = "license header text copyright notice all rights reserved do not"
+    rows = [
+        (i, hdr + " " + " ".join(f"tok{i}_{j}" for j in range(17)))
+        for i in range(6)
+    ]
+    # doc 6 is NOTHING BUT the shared header: every passage is boilerplate
+    rows.append((6, hdr))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.passage_dedup(df, "doc_id", "text", passage_tokens=10,
+                              max_docs=2)
+    got = {r["id"]: r for r in out.collect()}
+    for i in range(6):
+        r = got[i]
+        assert (r["n_passages"], r["n_removed"]) == (3, 1)
+        assert r["clean_text"].startswith(f"tok{i}_0 ")
+        assert hdr not in r["clean_text"]
+    # all-boilerplate doc: counted, fully removed, clean_text is null
+    assert got[6]["n_passages"] == 1 and got[6]["n_removed"] == 1
+    assert got[6]["clean_text"] is None
+    # tail passage (tokens 10..16 of the body = 7 tokens) survives intact:
+    # reassembly preserves original passage order
+    assert got[0]["clean_text"].split(" ")[10] == "tok0_10"
+
+
+def test_passage_dedup_boilerplate_set_is_broadcast(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, "a b c")],
+                               ["doc_id", "text"])
+    out = dedup.passage_dedup(df, "doc_id", "text")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the corpus joins the (tiny) repeated-passage set as a broadcast —
+    # no shuffle of exploded passage text against the frequency table
+    assert "BroadcastHashJoin" in plan
