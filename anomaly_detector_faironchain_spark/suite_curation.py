@@ -465,6 +465,78 @@ FROM rk WHERE r <= 3
 """
 
 
+_NORM2_SQL = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+              "list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+              "(a, b) -> a + b)")
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with iters=0: centroids = the 16 lowest-id vectors (the
+    deterministic Lloyd init), so assignment + nprobe probing + re-rank —
+    the entire inverted-file search path incl. the Arrow-batched
+    assignment UDF — is exactly replicable in SQL. (The learned-centroid
+    variant is covered by the recall-vs-exact property test.)"""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.kmeans_centroids(emb, "vec_id", "embedding",
+                                        k=16, iters=0)
+    out = similarity.ivf_topk(emb, "vec_id", "embedding", _ANN_QIDS,
+                              cents, k=3, nprobe=4)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        "cos",
+    )
+
+
+ORACLE_IVF_ANN_TOPK = f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cn AS (SELECT cell, cvec, {_NORM2_SQL.format(v='cvec')} AS cn2 FROM cent),
+base AS (SELECT vec_id AS nid, embedding AS vec FROM embeddings),
+asg AS (
+  SELECT nid, vec, cell,
+         ROW_NUMBER() OVER (PARTITION BY nid ORDER BY score, cell) AS r
+  FROM (
+    SELECT b.nid, b.vec, c.cell,
+           -2 * {_DOT_SQL.format(a='b.vec', b='c.cvec')} + c.cn2 AS score
+    FROM base b, cn c
+  )
+),
+assigned AS (SELECT nid, vec, cell FROM asg WHERE r = 1),
+q AS (SELECT nid AS qid, vec AS qvec FROM base
+      WHERE nid IN ({', '.join(map(str, _ANN_QIDS))})),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             -2 * {_DOT_SQL.format(a='q.qvec', b='c.cvec')} + c.cn2,
+             c.cell) AS r
+    FROM q, cn c
+  ) WHERE r <= 4
+),
+cand AS (
+  SELECT p.qid, a.nid, a.vec
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.nid <> p.qid
+),
+scored AS (
+  SELECT qid, nid,
+         CAST(ROUND({_DOT_SQL.format(a='cand.vec', b='q.qvec')}
+              / ({_NORM_SQL.format(v='cand.vec')} * {_NORM_SQL.format(v='q.qvec')}), 6) AS DOUBLE) AS cos
+  FROM cand JOIN q USING (qid)
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos
+FROM rk WHERE r <= 3
+"""
+
+
 def _emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ planted near-duplicates at vec_id+100000: the copy is
     v + 0.05·reverse(v) (cos ≈ 0.997 against its source, while the max
@@ -1103,6 +1175,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "lsh_buckets": q_lsh_buckets,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_cosine_neardup": q_embedding_cosine_neardup,
     "embedding_cosine_neardup_2t": q_embedding_cosine_neardup_2t,
     "token_stats": q_token_stats,
@@ -1129,6 +1202,7 @@ ORACLES = {
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "lsh_buckets": ORACLE_LSH_BUCKETS,
     "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,
+    "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
     "embedding_cosine_neardup": ORACLE_EMBEDDING_COSINE_NEARDUP,
     "embedding_cosine_neardup_2t": ORACLE_EMBEDDING_COSINE_NEARDUP_2T,
     "token_stats": ORACLE_TOKEN_STATS,
