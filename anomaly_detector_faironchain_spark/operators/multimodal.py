@@ -103,3 +103,98 @@ def decode_image_features(payloads: DataFrame, fake: bool = False) -> DataFrame:
             })
 
     return payloads.mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("n_frame_bytes", T.LongType()),
+    T.StructField("frame_sha256", T.StringType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(
+    payloads: DataFrame, frame_bytes: int = 32, stride: int = 2,
+) -> DataFrame:
+    """Frame sampling over opaque video-like containers (STUB container
+    format: the payload is treated as a sequence of fixed-size
+    ``frame_bytes`` frames, last partial frame kept — a real demuxer
+    (pyav/ffmpeg) would occupy exactly this mapInPandas slot). Emits
+    every ``stride``-th frame with its container index, byte length,
+    sha256, and the frame bytes themselves.
+
+    Spark shape this pins down: a map-only FLATMAP — one input row fans
+    out to n_frames/stride output rows inside the same task, payloads
+    never shuffle, and downstream feature extraction consumes the small
+    per-frame rows instead of whole containers. frame_idx is the
+    container index (0, stride, 2·stride, …) so sampled frames stay
+    addressable in the source video.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, hashes, frames = [], [], [], [], []
+            for i, b in zip(pdf["id"], pdf["payload"]):
+                b = bytes(b)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for j in range(0, n_frames, stride):
+                    fr = b[j * frame_bytes:(j + 1) * frame_bytes]
+                    ids.append(i)
+                    idxs.append(j)
+                    lens.append(len(fr))
+                    hashes.append(hashlib.sha256(fr).hexdigest())
+                    frames.append(fr)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "n_frame_bytes": pd.Series(lens, dtype="int64"),
+                "frame_sha256": pd.Series(hashes, dtype="object"),
+                "frame": pd.Series(frames, dtype="object"),
+            })
+
+    return payloads.mapInPandas(extract, FRAME_SCHEMA)
+
+
+THUMB_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("thumb_bytes", T.LongType()),
+    T.StructField("thumb_sha256", T.StringType()),
+    T.StructField("thumb", T.BinaryType()),
+])
+
+
+def resize_images(
+    payloads: DataFrame, max_bytes: int = 64, fake: bool = False,
+) -> DataFrame:
+    """Image resize/thumbnail (STUB decode, real plumbing): the real
+    implementation decodes, resizes and re-encodes inside this same
+    mapInPandas shape; ``fake=True`` substitutes a deterministic
+    pseudo-resize (every k-th byte, k chosen so the thumb fits
+    ``max_bytes``) so schema, batching and the map-only no-shuffle
+    property are testable without codecs."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs unavailable in this environment; "
+                    "use fake=True for the deterministic pseudo-resize"
+                )
+
+            def shrink(b):
+                b = bytes(b)
+                step = max(1, -(-len(b) // max_bytes))
+                return b[::step]
+
+            thumbs = pdf["payload"].map(shrink)
+            yield pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "thumb_bytes": thumbs.map(len).astype("int64"),
+                "thumb_sha256": thumbs.map(
+                    lambda b: hashlib.sha256(b).hexdigest()
+                ),
+                "thumb": thumbs,
+            })
+
+    return payloads.mapInPandas(extract, THUMB_SCHEMA)

@@ -846,6 +846,36 @@ FROM documents
 """
 
 
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 2nd 32-byte frame of each payload (stub container format —
+    see operators/multimodal.sample_frames); the binary frame column is
+    dropped for the compare, its length + sha256 prove the slicing."""
+    docs = _docs(spark, sf_dir)
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.sample_frames(payloads, frame_bytes=32, stride=2).select(
+        "id", "frame_idx", "n_frame_bytes", "frame_sha256"
+    )
+
+
+# document text is ASCII, so varchar substr == byte slice and
+# sha256(varchar frame) == sha256 of the frame bytes
+ORACLE_FRAME_SAMPLING = """
+WITH t AS (
+  SELECT doc_id AS id, text, octet_length(encode(text)) AS n FROM documents
+),
+f AS (
+  SELECT id, CAST(i AS INT) AS frame_idx,
+         substr(text, CAST(i * 32 + 1 AS BIGINT), 32) AS frame
+  FROM t, UNNEST(generate_series(0, CAST(ceil(n / 32.0) AS BIGINT) - 1)) AS g(i)
+  WHERE i % 2 = 0
+)
+SELECT CAST(id AS BIGINT) AS id, frame_idx,
+       CAST(length(frame) AS BIGINT) AS n_frame_bytes,
+       sha256(frame) AS frame_sha256
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (13-gram-style overlap; n=5 at test scale)
 # ---------------------------------------------------------------------------
@@ -1182,6 +1212,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprints": q_fingerprints,
     "binary_metadata": q_binary_metadata,
+    "frame_sampling": q_frame_sampling,
     "curation_pipeline": q_curation_pipeline,
 }
 
@@ -1209,5 +1240,6 @@ ORACLES = {
     "langid": _langid_oracle(),
     "fingerprints": ORACLE_FINGERPRINTS,
     "binary_metadata": ORACLE_BINARY_METADATA,
+    "frame_sampling": ORACLE_FRAME_SAMPLING,
     "curation_pipeline": _curation_oracle(),
 }

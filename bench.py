@@ -124,8 +124,13 @@ def bench_analysis_pipeline(spark, work_dir: str = "/tmp/bench_transfers") -> fl
         res.count()  # result is localCheckpoint'ed; count is a fetch
         return time.time() - t0
 
+    # EP2 is minutes per run on a degraded host (measured 62 s in a quiet
+    # window, 171 s in a contended one), so the default is warm-up + ONE
+    # timed run to keep the whole bench inside a per-round time budget;
+    # BENCH_EP2_RUNS=2 restores min-of-2 for record runs.
+    n_runs = int(os.environ.get("BENCH_EP2_RUNS", "1"))
     run()  # warm-up
-    return min(run(), run())
+    return min(run() for _ in range(max(n_runs, 1)))
 
 
 def main() -> None:

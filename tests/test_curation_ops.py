@@ -449,3 +449,34 @@ def test_passage_dedup_boilerplate_set_is_broadcast(spark):
     # the corpus joins the (tiny) repeated-passage set as a broadcast —
     # no shuffle of exploded passage text against the frequency table
     assert "BroadcastHashJoin" in plan
+
+
+def test_sample_frames_and_resize_plumbing(spark, docs):
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    frames = multimodal.sample_frames(payloads, frame_bytes=32, stride=2)
+    one = docs.filter(F.col("doc_id") == 0).collect()[0]
+    raw = one["text"].encode()
+    got = sorted(
+        frames.filter(F.col("id") == 0).collect(), key=lambda r: r.frame_idx
+    )
+    # frame_idx is the container index: 0, 2, 4, ...
+    assert [r.frame_idx for r in got] == list(
+        range(0, (len(raw) + 31) // 32, 2)
+    )
+    for r in got:
+        expect = raw[r.frame_idx * 32:(r.frame_idx + 1) * 32]
+        assert bytes(r.frame) == expect
+        assert r.frame_sha256 == hashlib.sha256(expect).hexdigest()
+    # map-only: the frame fan-out introduces no shuffle
+    plan = frames._sc._jvm.PythonSQLUtils.explainString(
+        frames._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+
+    # resize: real decode fails loudly, fake path is deterministic + bounded
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.resize_images(payloads).limit(1).collect()
+    thumbs = multimodal.resize_images(payloads, max_bytes=64, fake=True)
+    t0 = thumbs.filter(F.col("id") == 0).collect()[0]
+    step = max(1, -(-len(raw) // 64))
+    assert bytes(t0.thumb) == raw[::step] and t0.thumb_bytes <= 64
