@@ -179,7 +179,10 @@ def features_from_edges(
         .withColumnRenamed("triangle_amount", "triangle_loop_amount")
         .withColumnRenamed("triangle_tx", "triangle_loop_tx_count")
     )
-    ego = graph.egonet_features(edges).select(
+    # "auto": edges are cached + warmed by the time this runs, so the
+    # one-job routing decision reads the measured intermediate sizes for
+    # pennies and avoids the ~27% routing premium on non-skewed months
+    ego = graph.egonet_features(edges, route_by_degree="auto").select(
         "node", F.col("ego_density").alias("egonet_density")
     )
     loops = graph.self_loop_flag(edges)
@@ -389,9 +392,10 @@ def run_anomaly_analysis(
       released by the NEXT run. On a multi-tenant cluster, swap
       localCheckpoint for a reliable checkpoint dir.
 
-    Driver actions per run: 1 edges warm-up + 1 fused stats pass +
-    1 covariance pass + 1 iforest fit sample + 1 materialization
-    (+1 orphan count when tx/blocks are given).
+    Driver actions per run: 1 edges warm-up + 1 egonet routing decision
+    (reads the warmed cache) + 1 fused stats pass + 1 covariance pass +
+    1 iforest fit sample + 1 materialization (+1 orphan count when
+    tx/blocks are given).
     """
     # release caches a previous materialize=False run left pinned (its
     # handles are clobbered below; unpersist is safe — consumers recompute)

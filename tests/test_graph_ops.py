@@ -124,9 +124,44 @@ def test_egonet_routes_agree_on_hub_graph(spark):
     b = {r.node: (r.ego_n, r.ego_m, r.ego_density)
          for r in graph.egonet_features(e, route_by_degree=True).collect()}
     assert a == b
+    c = {r.node: (r.ego_n, r.ego_m, r.ego_density)
+         for r in graph.egonet_features(e, route_by_degree="auto").collect()}
+    assert a == c
     # hand check: ego(s0) = {s0, hub, s1, s2}; edges within: hub->s0/s1/s2,
     # s0/s1/s2->hub, s0->s1, s1->s2, s2->s0 = 9
     assert a["s0"][0] == 4 and a["s0"][1] == 9
+
+
+def test_egonet_auto_routing_decision(spark):
+    """'auto' measures both intermediate sizes exactly: routes on a
+    hub-and-spoke graph (min-degree shrinks the expansion 40×), stays
+    plain on a cycle where the sizes are identical and routing's extra
+    union/attach would buy nothing."""
+    from pyspark.sql import functions as F
+    from anomaly_detector_faironchain_spark.operators.graph import (
+        _egonet_route_choice,
+    )
+
+    def er_for(edge_rows):
+        e = spark.createDataFrame(edge_rows, "src string, dst string")
+        und = e.union(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct()
+        degu = und.groupBy(F.col("src").alias("nd")).agg(
+            F.count(F.lit(1)).alias("__deg__"))
+        return (
+            e.join(degu.withColumnRenamed("nd", "src")
+                       .withColumnRenamed("__deg__", "__ds__"), "src")
+            .join(degu.withColumnRenamed("nd", "dst")
+                      .withColumnRenamed("__deg__", "__dd__"), "dst")
+        )
+
+    # spokes point AT the hub: plain via-dst expands every edge through
+    # the deg-40 hub (Σ deg(dst) = 1600), routing through the deg-1 spoke
+    # side (Σ min = 40)
+    hub = [(f"s{i}", "hub") for i in range(40)]
+    assert _egonet_route_choice(er_for(hub), auto_ratio=1.0) is True
+    cycle = [(f"n{i}", f"n{(i + 1) % 20}") for i in range(20)]
+    assert _egonet_route_choice(er_for(cycle), auto_ratio=1.0) is False
 
 
 def _uf_components(edges):
