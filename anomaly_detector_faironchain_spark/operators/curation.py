@@ -54,3 +54,29 @@ def curate_documents(
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("quality") >= min_quality)
     ).select("id", "predicted_lang", "n_tokens", "quality")
+
+
+def cap_per_group(
+    df, group_col: str, order_col: str, k: int, id_col: str,
+):
+    """Per-group quota cap: keep at most ``k`` rows per ``group_col``,
+    preferring the highest ``order_col`` (ties broken by ascending
+    ``id_col`` for determinism). The web-corpus per-domain cap — bounding
+    any single domain's share of the training mix — and the generic
+    "top-k documents per source by quality" selector.
+
+    One shuffle keyed by group; within a group the window is a per-key
+    sort, so a mega-domain is bounded by its own row count, not the
+    corpus (AQE skew-split applies — the window key is the shuffle key).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .withColumnRenamed("__rn__", "group_rank")
+    )

@@ -361,3 +361,45 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
     ).drop("rk")
+
+
+def _rp_sign(p: int, d: int) -> float:
+    """±1 from the first hex nibble of md5(f'{p}_{d}') — the same
+    deterministic pseudo-random source as hyperplane_components, computed
+    driver-side so the coefficients become plan literals."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0] in "01234567" else -1.0
+
+
+def random_projection(
+    df: DataFrame, id_col: str, vec_col: str,
+    out_dim: int = 8, dim: int = DIM,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection dim→out_dim with a
+    deterministic ±1 (Achlioptas) matrix: (id, p, s) where
+    s = Σ_d sign(p,d)·vec[d] / √out_dim, one row per output component.
+
+    Scale shape: the sign matrix is out_dim×dim driver-side literals, so
+    the whole projection is a map-only codegen'd projection — zero
+    shuffles, zero UDFs, reads each vector once (contrast lsh_buckets'
+    oracle-exact explode-join-agg, which shuffles n·dim rows). Each
+    component folds the vector LEFT-TO-RIGHT (F.aggregate), which makes
+    the float result bit-identical to the DuckDB list_reduce oracle.
+    """
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for p in range(out_dim):
+        signs = F.array(*[F.lit(_rp_sign(p, d)) for d in range(dim)])
+        s = F.aggregate(
+            F.zip_with(F.col(vec_col), signs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(F.round(s * F.lit(inv), 6).cast("double"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*comps)).alias("p", "s"),
+    )

@@ -465,6 +465,74 @@ FROM rk WHERE r <= 3
 """
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.random_projection(emb, "vec_id", "embedding",
+                                        out_dim=8).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("p").cast("int").alias("p"),
+        "s",
+    )
+
+
+def _random_projection_oracle() -> str:
+    """Per output component p: the ±1 coefficients are emitted as a SQL
+    CASE over the element index so the fold order (list_reduce, left to
+    right) matches Spark's F.aggregate bit-for-bit."""
+    import hashlib
+
+    def sign(p, d):
+        h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0]
+        return "1.0" if h in "01234567" else "-1.0"
+
+    comps = []
+    for p in range(8):
+        case = " ".join(
+            f"WHEN {d + 1} THEN {sign(p, d)}" for d in range(64)
+        )
+        comps.append(
+            f"CAST(ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, 64), d -> "
+            f"CAST(embedding[d] AS DOUBLE) * (CASE d {case} END))), "
+            f"(a, b) -> a + b) * {1.0 / 8 ** 0.5!r}, 6) AS DOUBLE)"
+        )
+    arms = " UNION ALL ".join(
+        f"SELECT CAST(vec_id AS BIGINT) AS id, {p} AS p, {c} AS s "
+        f"FROM embeddings"
+        for p, c in enumerate(comps)
+    )
+    return arms
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep the 20 longest documents per source —
+    the per-domain share cap of a web-corpus mix."""
+    from anomaly_detector_faironchain_spark.operators import curation
+
+    docs = _docs(spark, sf_dir)
+    return curation.cap_per_group(
+        docs, "source", "n_chars", 20, "doc_id"
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("group_rank").cast("int").alias("group_rank"),
+    )
+
+
+ORACLE_DOMAIN_QUOTA = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS group_rank
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(group_rank AS INT) AS group_rank
+FROM r WHERE group_rank <= 20
+"""
+
+
 _NORM2_SQL = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
               "list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
               "(a, b) -> a + b)")
@@ -1206,6 +1274,8 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "random_projection": q_random_projection,
+    "domain_quota": q_domain_quota,
     "embedding_cosine_neardup": q_embedding_cosine_neardup,
     "embedding_cosine_neardup_2t": q_embedding_cosine_neardup_2t,
     "token_stats": q_token_stats,
@@ -1234,6 +1304,8 @@ ORACLES = {
     "lsh_buckets": ORACLE_LSH_BUCKETS,
     "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,
     "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
+    "random_projection": _random_projection_oracle(),
+    "domain_quota": ORACLE_DOMAIN_QUOTA,
     "embedding_cosine_neardup": ORACLE_EMBEDDING_COSINE_NEARDUP,
     "embedding_cosine_neardup_2t": ORACLE_EMBEDDING_COSINE_NEARDUP_2T,
     "token_stats": ORACLE_TOKEN_STATS,

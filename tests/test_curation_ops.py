@@ -480,3 +480,40 @@ def test_sample_frames_and_resize_plumbing(spark, docs):
     t0 = thumbs.filter(F.col("id") == 0).collect()[0]
     step = max(1, -(-len(raw) // 64))
     assert bytes(t0.thumb) == raw[::step] and t0.thumb_bytes <= 64
+
+
+def test_random_projection_is_linear_and_map_only(spark):
+    from anomaly_detector_faironchain_spark.operators import similarity
+
+    rows = [(0, [float(d % 7 - 3) for d in range(64)])]
+    rows.append((1, [2.0 * x for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.random_projection(df, "vec_id", "embedding", out_dim=8)
+    got = {(r.id, r.p): r.s for r in out.collect()}
+    assert len(got) == 16
+    # linearity: proj(2v) = 2 proj(v) (rounding at 6dp)
+    for p in range(8):
+        assert got[(1, p)] == pytest.approx(2 * got[(0, p)], abs=2e-6)
+    # the sign matrix is plan literals: zero shuffles, zero UDFs
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # (the createDataFrame scan node mentions PythonRDD — only UDF
+    # eval nodes would mean Python in the ROW path)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_cap_per_group_keeps_topk_deterministically(spark):
+    from anomaly_detector_faironchain_spark.operators import curation
+
+    rows = [(i, f"d{i % 3}", float(100 - i)) for i in range(30)]
+    rows += [(100, "d1", 99.0)]  # ties with id 1 on score 99 → id 1 first
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = curation.cap_per_group(df, "source", "score", 2, "doc_id")
+    got = sorted((r.source, r.group_rank, r.doc_id) for r in out.collect())
+    assert got == [
+        ("d0", 1, 0), ("d0", 2, 3),
+        ("d1", 1, 1), ("d1", 2, 100),     # 99.0 tie broken by min doc_id
+        ("d2", 1, 2), ("d2", 2, 5),
+    ]
