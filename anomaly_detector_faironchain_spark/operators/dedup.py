@@ -20,6 +20,8 @@ Scale design (10^12 documents):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -483,4 +485,117 @@ def passage_dedup(
             ),
             F.lit(""),
         ).alias("clean_text"),
+    )
+
+
+def _bloom_positions(h, num_bits: int, k: int):
+    """k bit positions per 64-bit digest via Kirsch-Mitzenmacher double
+    hashing: pos_i = (h1 + i*h2) mod m with h2 forced odd — vectorized
+    over a numpy uint64 array."""
+    import numpy as np
+
+    h1 = h.astype(np.uint64)
+    h2 = (h1 >> np.uint64(33)) | np.uint64(1)
+    m = np.uint64(num_bits)
+    return [
+        ((h1 + np.uint64(i) * h2) % m).astype(np.int64) for i in range(k)
+    ]
+
+
+def bloom_screen(
+    corpus: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+    hist_id_col: str | None = None,
+    hist_text_col: str | None = None,
+    expected_items: int = 1_000_000,
+    num_bits: int = 8 * 1_000_000,
+) -> DataFrame:
+    """Cross-corpus dedup via a Bloom-filter screen: flag corpus
+    documents whose content digest was seen in ``history``, without ever
+    shuffling the corpus. Returns (id, maybe_dup, is_dup).
+
+    Two stages, the textbook membership-at-scale shape:
+      1. SCREEN — history is scanned ONCE map-only; each partition emits
+         its num_bits/8-byte partial bitmap (mapInPandas), the driver ORs
+         them (#partitions × m/8 bytes — the same merge a JVM tree
+         aggregation would do) and broadcasts the result; every corpus
+         row tests membership in an Arrow-batched UDF (vectorized bit
+         probes, no shuffle). No false negatives by construction.
+      2. VERIFY — only screened candidates (true dups + ~fpp false
+         positives) are checked exactly: the (small) candidate md5 set
+         semi-joins history and the confirmed set broadcasts back, so a
+         64-bit xxhash collision can never mark a non-duplicate.
+
+    Spark's own bloom machinery (BloomFilterAggregate / might_contain)
+    is runtime-filter-internal and not SQL-registered in this build, so
+    the filter is numpy-built — same double-hash construction, and the
+    build is an explicit driver action (building a broadcast side
+    structure always is).
+
+    Contrast checkpoint.dedup_against_history (exact, grows a digest
+    index): the Bloom screen is for when even the digest index is too
+    big to join every batch against — ship MBs of filter instead.
+    k (probe count) is chosen from num_bits/expected_items as
+    round(ln 2 · m/n)."""
+    import math
+
+    h_text = hist_text_col or text_col
+    n_probes = max(1, round(math.log(2) * num_bits / max(expected_items, 1)))
+    cur = corpus.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(F.col(text_col)).alias("h64"),
+        F.md5(F.col(text_col)).alias("h128"),
+    )
+    hist = history.select(
+        F.xxhash64(F.col(h_text)).alias("h64"),
+        F.md5(F.col(h_text)).alias("h128"),
+    )
+
+    def build(batches):
+        bm = np.zeros(num_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["h64"].to_numpy().astype(np.int64).view(np.uint64)
+            for pos in _bloom_positions(h, num_bits, n_probes):
+                np.bitwise_or.at(
+                    bm, pos // 8,
+                    np.left_shift(np.uint8(1), (pos % 8).astype(np.uint8)),
+                )
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = hist.select("h64").mapInPandas(build, "bm binary").collect()
+    bloom = np.zeros(num_bits // 8, dtype=np.uint8)
+    for r in parts:
+        bloom |= np.frombuffer(r.bm, dtype=np.uint8)
+    bc = corpus.sparkSession.sparkContext.broadcast(bloom.tobytes())
+
+    @F.pandas_udf("boolean")
+    def might_contain(h64: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        h = h64.to_numpy().astype(np.int64).view(np.uint64)
+        ok = np.ones(len(h), dtype=bool)
+        for pos in _bloom_positions(h, num_bits, n_probes):
+            bit = (bm[pos // 8] >> (pos % 8).astype(np.uint8)) & np.uint8(1)
+            ok &= bit.astype(bool)
+        return pd.Series(ok)
+
+    screened = cur.select(
+        "id", "h64", "h128", might_contain(F.col("h64")).alias("maybe_dup")
+    )
+    cand = screened.filter("maybe_dup").select("h128").distinct()
+    confirmed = hist.join(F.broadcast(cand), "h128", "left_semi") \
+        .select("h128").distinct()
+    return (
+        screened.join(
+            F.broadcast(confirmed.withColumn("__c__", F.lit(True))),
+            "h128", "left",
+        )
+        .select(
+            "id",
+            "maybe_dup",
+            F.coalesce("__c__", F.lit(False)).alias("is_dup"),
+        )
     )

@@ -234,3 +234,84 @@ def c4_line_filter(
         F.size(lines).alias("n_lines"),
         F.size(keep).alias("n_kept_lines"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms —
+    the lexical counterpart of the embedding similarity search, used for
+    quality-targeted corpus selection ("documents that look like X").
+    Returns (id, n_hit_terms, bm25) for all documents (0.0 for no hits).
+
+    Lucene's idf form: ln(1 + (N − df + 0.5)/(df + 0.5));
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale shape: one pass computes per-(doc, term) tf for the handful of
+    query terms (everything else is filtered inside the array, so the
+    explode emits only matching tokens); N and avgdl ride a 1-row
+    broadcast cross join, the per-term df table is term-cardinality and
+    broadcasts into the scoring expression. No second corpus scan, no
+    UDF."""
+    terms = [t for t in query_terms]
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+    ).select(
+        "id",
+        F.size("toks").alias("dl"),
+        F.filter("toks", lambda t: t.isin(*terms)).alias("hits"),
+    )
+    corpus_stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select("id", "dl", F.explode("hits").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus_stats))
+        .select(
+            "id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("contrib").alias("bm25"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hit_terms", F.lit(0)).cast("long").alias("n_hit_terms"),
+            F.round(F.coalesce("bm25", F.lit(0.0)), 4).cast("double").alias("bm25"),
+        )
+    )

@@ -465,6 +465,70 @@ FROM rk WHERE r <= 3
 """
 
 
+_BM25_TERMS = ["data", "query", "table"]
+
+
+def q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.bm25_scores(docs, "doc_id", "text", _BM25_TERMS).select(
+        F.col("id").cast("long").alias("id"), "n_hit_terms", "bm25",
+    )
+
+
+_BM25_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+ORACLE_BM25_RELEVANCE = f"""
+WITH t AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+base AS (
+  SELECT id, len(toks) AS dl,
+         list_filter(toks, x -> list_contains([{_BM25_LIST}], x)) AS hits
+  FROM t
+),
+cs AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+tf AS (
+  SELECT id, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM (SELECT id, dl, UNNEST(hits) AS term FROM base)
+  GROUP BY 1, 2
+),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT id, COUNT(*) AS n_hit_terms,
+         SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS bm25
+  FROM tf JOIN dfq USING (term), cs
+  GROUP BY 1
+)
+SELECT CAST(b.id AS BIGINT) AS id,
+       CAST(COALESCE(n_hit_terms, 0) AS BIGINT) AS n_hit_terms,
+       CAST(ROUND(COALESCE(bm25, 0.0), 4) AS DOUBLE) AS bm25
+FROM base b LEFT JOIN sc ON sc.id = b.id
+"""
+
+
+def q_bloom_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every third document forms the 'seen before' history; is_dup is
+    the exact (Bloom-screened, md5-verified) membership verdict. The
+    Bloom maybe_dup bit itself is not SQL-replicable (Spark's filter
+    hashing) — its no-false-negative / screen-before-verify mechanics
+    are pinned by tests/test_curation_ops.py."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 3 == 0)
+    out = dedup.bloom_screen(docs, history, "doc_id", "text",
+                             expected_items=10_000, num_bits=80_000)
+    return out.select(F.col("id").cast("long").alias("id"), "is_dup")
+
+
+ORACLE_BLOOM_DEDUP_SCREEN = """
+WITH hist AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       md5(text) IN (SELECT h FROM hist) AS is_dup
+FROM documents
+"""
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return similarity.random_projection(emb, "vec_id", "embedding",
@@ -1275,6 +1339,8 @@ QUERIES = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "random_projection": q_random_projection,
+    "bm25_relevance": q_bm25_relevance,
+    "bloom_dedup_screen": q_bloom_dedup_screen,
     "domain_quota": q_domain_quota,
     "embedding_cosine_neardup": q_embedding_cosine_neardup,
     "embedding_cosine_neardup_2t": q_embedding_cosine_neardup_2t,
@@ -1305,6 +1371,8 @@ ORACLES = {
     "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,
     "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
     "random_projection": _random_projection_oracle(),
+    "bm25_relevance": ORACLE_BM25_RELEVANCE,
+    "bloom_dedup_screen": ORACLE_BLOOM_DEDUP_SCREEN,
     "domain_quota": ORACLE_DOMAIN_QUOTA,
     "embedding_cosine_neardup": ORACLE_EMBEDDING_COSINE_NEARDUP,
     "embedding_cosine_neardup_2t": ORACLE_EMBEDDING_COSINE_NEARDUP_2T,

@@ -517,3 +517,38 @@ def test_cap_per_group_keeps_topk_deterministically(spark):
         ("d1", 1, 1), ("d1", 2, 100),     # 99.0 tie broken by min doc_id
         ("d2", 1, 2), ("d2", 2, 5),
     ]
+
+
+def test_bloom_screen_mechanics(spark, docs):
+    """The Bloom stage must have NO false negatives (every true dup is
+    screened in) and the exact verify must clear the screen's false
+    positives; the screen itself is a map-side might_contain against a
+    1-row aggregated filter binary."""
+    corpus = docs.select("doc_id", "text")
+    history = corpus.filter(F.col("doc_id") % 3 == 0)
+    out = dedup.bloom_screen(corpus, history, "doc_id", "text",
+                             expected_items=1000, num_bits=8000)
+    rows = {r.id: r for r in out.collect()}
+    for i, r in rows.items():
+        if i % 3 == 0:
+            assert r.maybe_dup and r.is_dup     # no false negatives
+        else:
+            assert not r.is_dup                 # verify clears screen FPs
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # screen = Arrow-batched probe (map-side), verify = broadcast join
+    assert "ArrowEvalPython" in plan and "BroadcastExchange" in plan
+
+
+def test_bm25_prefers_term_dense_short_docs(spark):
+    rows = [
+        (0, "data query table data"),            # dense, short
+        (1, "data " + "filler " * 40 + "query"),  # hits diluted
+        (2, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in text_ops.bm25_scores(
+        df, "doc_id", "text", ["data", "query", "table"]).collect()}
+    assert got[0].n_hit_terms == 3 and got[1].n_hit_terms == 2
+    assert got[0].bm25 > got[1].bm25 > got[2].bm25 == 0.0
