@@ -4,6 +4,16 @@
         validate --input /data/source_files --out /out/run1 \\
         --ref repos=/data/repos [--partition-col bucket] [--resume]
 
+    ... cli etl --blocks raw_blocks --transfers raw_transfers --out DIR
+        # reference EP1 (run_preprocessing + run_build_abstract): clean,
+        # validate, build the five abstract tables, write parquet
+
+    ... cli analyze --transfers abstract_token_transfer --out DIR \\
+        [--tx PATH --blocks PATH] [--min-amount 1e12] [--infra a,b,...]
+        # reference EP2 (run_graph_builder + run_feature_extraction +
+        # run_anomaly_analysis_pipeline): graph features -> H1-H6 ->
+        # detectors -> analysis_result parquet
+
 Runs the north-rule constraint suite with checkpoint/resume; on a cluster
 the same code executes unchanged — parallelism comes from the input's
 file splits and spark.sql.shuffle.partitions set by the submitter.
@@ -37,9 +47,36 @@ def main(argv: list[str] | None = None) -> int:
                         "override (iceberg:/table: read catalog tables)")
     v.add_argument("--violation-limit", type=int, default=1000,
                    help="max materialized violation rows per (partition, check)")
+    e = sub.add_parser("etl", help="EP1: raw chain data → abstract tables")
+    e.add_argument("--blocks", required=True, help="raw blocks table")
+    e.add_argument("--transfers", required=True, help="raw native transfers")
+    e.add_argument("--out", required=True, help="output dir (5 parquet tables)")
+    e.add_argument("--format", default="parquet",
+                   choices=["parquet", "csv", "iceberg", "table"])
+    e.add_argument("--skip-checks", action="store_true",
+                   help="skip the 20-check parity suite after the build")
+
+    a = sub.add_parser("analyze", help="EP2: transfers → anomaly scores")
+    a.add_argument("--transfers", required=True,
+                   help="abstract_token_transfer table")
+    a.add_argument("--out", required=True, help="result parquet dir")
+    a.add_argument("--tx", help="abstract_transaction (timestamp lineage)")
+    a.add_argument("--blocks", help="abstract_block (timestamp lineage)")
+    a.add_argument("--min-amount", type=float, default=1e12,
+                   help="Wei floor before graph build (reference default)")
+    a.add_argument("--infra", default="",
+                   help="comma-separated infra whitelist addresses")
+    a.add_argument("--no-iforest", action="store_true")
+    a.add_argument("--format", default="parquet",
+                   choices=["parquet", "csv", "iceberg", "table"])
     args = p.parse_args(argv)
 
-    spark = SparkSession.builder.appName("adfs-validate").getOrCreate()
+    spark = SparkSession.builder.appName(f"adfs-{args.cmd}").getOrCreate()
+
+    if args.cmd == "etl":
+        return _run_etl(spark, args)
+    if args.cmd == "analyze":
+        return _run_analyze(spark, args)
 
     df = load_table(spark, args.input, args.format)
     refs = {}
@@ -61,6 +98,48 @@ def main(argv: list[str] | None = None) -> int:
     }
     print(json.dumps(summary))
     return 0 if summary["passed"] else 2
+
+
+def _run_etl(spark: SparkSession, args) -> int:
+    """EP1: clean → five abstract tables → parquet (+ parity suite)."""
+    from anomaly_detector_faironchain_spark.etl import abstract, checks
+
+    raw_blocks = load_table(spark, args.blocks, args.format)
+    raw_transfers = load_table(spark, args.transfers, args.format)
+    tables = abstract.build_all(raw_blocks, raw_transfers)
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+    summary = {"status": "complete", "out": args.out,
+               "tables": {n: spark.read.parquet(f"{args.out}/{n}").count()
+                          for n in tables}}
+    if not args.skip_checks:
+        persisted = {n: spark.read.parquet(f"{args.out}/{n}") for n in tables}
+        results = checks.run_parity_suite(persisted)
+        summary["checks_passed"] = all(r.passed() for r in results.values())
+    print(json.dumps(summary))
+    return 0 if summary.get("checks_passed", True) else 2
+
+
+def _run_analyze(spark: SparkSession, args) -> int:
+    """EP2: graph features → detectors → analysis_result parquet."""
+    from anomaly_detector_faironchain_spark.analysis import pipeline
+
+    tt = load_table(spark, args.transfers, args.format)
+    tx = load_table(spark, args.tx, args.format) if args.tx else None
+    blocks = load_table(spark, args.blocks, args.format) if args.blocks else None
+    infra = [s for s in args.infra.split(",") if s.strip()]
+    result = pipeline.run_anomaly_analysis(
+        tt,
+        infra_addresses=infra,
+        include_iforest=not args.no_iforest,
+        min_amount=args.min_amount,
+        tx=tx,
+        blocks=blocks,
+    )
+    result.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"status": "complete", "out": args.out, "accounts": n}))
+    return 0
 
 
 if __name__ == "__main__":

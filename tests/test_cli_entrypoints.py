@@ -1,0 +1,61 @@
+"""Drive the CLI's EP1/EP2 subcommands through main() — the surfaces a
+reference user migrating their run_preprocessing / run_build_abstract /
+run_*_pipeline invocations would hit."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from anomaly_detector_faironchain_spark import cli
+from anomaly_detector_faironchain_spark.etl import rawgen
+
+
+@pytest.fixture(scope="module")
+def raw_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli_raw")
+    rawgen.raw_blocks(spark, 40).write.parquet(f"{base}/blocks")
+    rawgen.raw_native_transfers(spark, 2000, 40).write.parquet(
+        f"{base}/transfers"
+    )
+    return str(base)
+
+
+def test_cli_etl_builds_five_tables(spark, raw_dirs, tmp_path, capsys):
+    out = str(tmp_path / "abstract")
+    rc = cli.main([
+        "etl", "--blocks", f"{raw_dirs}/blocks",
+        "--transfers", f"{raw_dirs}/transfers", "--out", out,
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and summary["checks_passed"]
+    assert set(summary["tables"]) == {
+        "abstract_block", "abstract_transaction", "abstract_token_transfer",
+        "abstract_account", "abstract_token",
+    }
+    assert summary["tables"]["abstract_token"] == 1
+    assert summary["tables"]["abstract_token_transfer"] > 0
+
+
+def test_cli_analyze_writes_result(spark, raw_dirs, tmp_path, capsys):
+    abstract_dir = str(tmp_path / "abs2")
+    cli.main([
+        "etl", "--blocks", f"{raw_dirs}/blocks",
+        "--transfers", f"{raw_dirs}/transfers", "--out", abstract_dir,
+        "--skip-checks",
+    ])
+    capsys.readouterr()
+    out = str(tmp_path / "result")
+    rc = cli.main([
+        "analyze",
+        "--transfers", f"{abstract_dir}/abstract_token_transfer",
+        "--tx", f"{abstract_dir}/abstract_transaction",
+        "--blocks", f"{abstract_dir}/abstract_block",
+        "--out", out, "--min-amount", "0",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and summary["accounts"] > 0
+    res = spark.read.parquet(out)
+    cols = set(res.columns)
+    assert {"final_score_0_100", "H1_flag", "is_infra"} <= cols
