@@ -252,3 +252,48 @@ def mix_corpora(
         )
         .drop("__copies__")
     )
+
+
+def write_training_shards(
+    df,
+    out_dir: str,
+    sort_cols: list[str] | str,
+    max_records_per_file: int,
+    n_shards: int | None = None,
+) -> dict:
+    """Deterministic sorted-shard export — the sink that turns a curated
+    corpus into training shards: range-partition on ``sort_cols`` (so
+    shard N's keys all precede shard N+1's — epoch readers get a global
+    order without any reader-side sort), sort within each shard, and cap
+    file size with maxRecordsPerFile so no shard exceeds the loader's
+    memory budget. Returns a manifest dict {n_rows, n_files, files}.
+
+    Scale shape: ONE range-partitioning shuffle (sampled boundaries,
+    skew-balanced by Spark's range partitioner) + per-partition sort that
+    spills; maxRecordsPerFile splits oversized partitions at write time
+    without another shuffle. Writing through the committer keeps the
+    export atomic per Spark's usual _SUCCESS contract.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    part = df.repartitionByRange(*([n_shards] if n_shards else []), *cols)
+    (
+        part.sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(out_dir)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(out_dir)
+    files = sorted(
+        r.f for r in written.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    )
+    return {
+        "n_rows": written.count(),
+        "n_files": len(files),
+        "max_records_per_file": max_records_per_file,
+        "files": files,
+    }

@@ -155,3 +155,39 @@ def test_mix_corpora_weights_and_determinism(spark):
         for r in training.mix_corpora(df, "source", "doc_id", weights).collect()
     )
     assert a == b
+
+
+def test_write_training_shards_sorted_and_capped(spark, tmp_path):
+    from anomaly_detector_faironchain_spark.operators import training
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 2654435761 % 1000).alias("key"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "shards")
+    man = training.write_training_shards(
+        df, out, "key", max_records_per_file=100, n_shards=4
+    )
+    assert man["n_rows"] == 1000
+    # 1000 rows / 100-record cap → at least 10 files
+    assert man["n_files"] >= 10 and len(man["files"]) == man["n_files"]
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    # per-file key ranges must not overlap ACROSS files (global range
+    # order) and must be sorted WITHIN each file
+    rows = got.select(
+        F.input_file_name().alias("f"), "key",
+        F.monotonically_increasing_id().alias("pos"),
+    ).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.f, []).append((r.pos, r.key))
+    ranges = []
+    for f, kv in by_file.items():
+        keys = [k for _, k in sorted(kv)]
+        assert keys == sorted(keys), f"file {f} not internally sorted"
+        ranges.append((min(keys), max(keys), f))
+    ranges.sort()
+    for (lo1, hi1, f1), (lo2, hi2, f2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping shard ranges {f1} {f2}"
