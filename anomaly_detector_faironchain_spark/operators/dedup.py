@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -598,4 +598,34 @@ def bloom_screen(
             "maybe_dup",
             F.coalesce("__c__", F.lit(False)).alias("is_dup"),
         )
+    )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "component",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """The dedup DECISION step: given near-dup cluster labels (from
+    connected_components over LSH pairs) and a per-document quality
+    signal, keep exactly one document per cluster — highest quality,
+    ties broken by minimum id (deterministic). Returns
+    (id, component, quality, keep).
+
+    This is the "keep longest/highest-quality member" retention policy
+    used after MinHash clustering in web-corpus pipelines. One shuffle
+    keyed by cluster; cluster sizes are near-dup group sizes (small), so
+    no skew mitigation is needed — a pathological mega-cluster is a
+    data-quality signal surfaced by the cluster_size column upstream,
+    not a plan hazard."""
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    joined = clusters.select(id_col, cluster_col).join(
+        quality.select(id_col, quality_col), id_col
+    )
+    return joined.withColumn(
+        "keep", F.row_number().over(w) == 1
     )

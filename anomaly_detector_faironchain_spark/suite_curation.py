@@ -189,6 +189,53 @@ FROM lbl JOIN csz USING (component)
 """
 
 
+def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy on top of the near-dup clusters: keep the longest
+    member of each cluster (ties → min id) — the full MinHash → LSH →
+    verify → components → keeper chain in one query."""
+    aug = _augmented(spark, sf_dir, perturb=True)
+    sh = dedup.shingles(aug, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, k=12)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3, max_bucket=50)
+    pairs = dedup.jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= 0.6)
+    comp = graph.connected_components(pairs, src="id_a", dst="id_b")
+    quality = aug.select(
+        F.col("doc_id").alias("id"), F.length("text").alias("quality")
+    )
+    out = dedup.keep_best_per_cluster(comp, quality)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("quality").cast("long").alias("quality"),
+        "keep",
+    )
+
+
+def _dedup_keepers_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT id_a AS u, id_b AS v FROM j WHERE jac >= 0.6),
+bidir AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+nodes AS (SELECT DISTINCT u AS id FROM bidir),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT b.v, w.comp FROM walk w JOIN bidir b ON b.u = w.id
+),
+lbl AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+q AS (SELECT id, length(text) AS quality FROM aug),
+r AS (
+  SELECT lbl.id, component, quality,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY quality DESC, lbl.id ASC) AS rn
+  FROM lbl JOIN q ON q.id = lbl.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component,
+       CAST(quality AS BIGINT) AS quality, rn = 1 AS keep
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact all-pairs n-gram Jaccard (inverted index, no LSH)
 # ---------------------------------------------------------------------------
@@ -1330,6 +1377,7 @@ QUERIES = {
     "fuzzy_key_match": q_fuzzy_key_match,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "neardup_clusters": q_neardup_clusters,
+    "dedup_keepers": q_dedup_keepers,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_hamming_hist": q_simhash_hamming_hist,
     "simhash64_hamming": q_simhash64_hamming,
@@ -1362,6 +1410,7 @@ ORACLES = {
     "fuzzy_key_match": ORACLE_FUZZY_KEY_MATCH,
     "minhash_lsh_neardup": _minhash_oracle(),
     "neardup_clusters": _neardup_clusters_oracle(),
+    "dedup_keepers": _dedup_keepers_oracle(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash_hamming_hist": _simhash_oracle(),
     "simhash64_hamming": _simhash64_oracle(),

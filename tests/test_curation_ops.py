@@ -552,3 +552,19 @@ def test_bm25_prefers_term_dense_short_docs(spark):
         df, "doc_id", "text", ["data", "query", "table"]).collect()}
     assert got[0].n_hit_terms == 3 and got[1].n_hit_terms == 2
     assert got[0].bm25 > got[1].bm25 > got[2].bm25 == 0.0
+
+
+def test_keep_best_per_cluster_policy(spark):
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)],
+        "id long, component long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (4, 10), (5, 10)],
+        "id long, quality long",
+    )
+    out = {r.id: r.keep for r in dedup.keep_best_per_cluster(
+        clusters, quality).collect()}
+    # cluster 10: quality tie at 90 between ids 2,3 → min id 2 kept
+    # cluster 20: tie at 10 between 4,5 → 4 kept
+    assert out == {1: False, 2: True, 3: False, 4: True, 5: False}
