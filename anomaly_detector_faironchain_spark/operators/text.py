@@ -315,3 +315,42 @@ def bm25_scores(
             F.round(F.coalesce("bm25", F.lit(0.0)), 4).cast("double").alias("bm25"),
         )
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    symbol-soup / degenerate-text detector complementing token_stats:
+    natural language sits ~3.5-4.5 bits, single-character spam near 0,
+    random base64 near 6. Returns (id, n_chars, distinct_chars,
+    entropy_bits).
+
+    Pure whole-stage-codegen array expressions: chars enumerated by
+    index, distinct set SORTED so the entropy fold visits terms in the
+    same order as the DuckDB oracle (bit-identical floats). Per-row cost
+    is O(n_chars · distinct_chars) — fine for documents; for multi-MB
+    rows switch to the explode → groupBy(id, char) → agg formulation (one
+    shuffle) or an Arrow-batched Counter."""
+    c = text_col
+    ent = F.expr(
+        f"""round(aggregate(
+              array_sort(array_distinct(
+                transform(sequence(1, length({c})), i -> substring({c}, i, 1)))),
+              cast(0.0 as double),
+              (acc, cc) -> acc - (
+                size(filter(transform(sequence(1, length({c})),
+                                      i -> substring({c}, i, 1)),
+                            x -> x = cc)) / cast(length({c}) as double)
+              ) * log2(
+                size(filter(transform(sequence(1, length({c})),
+                                      i -> substring({c}, i, 1)),
+                            x -> x = cc)) / cast(length({c}) as double)
+              )), 4)"""
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(c).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(
+            F.expr(f"transform(sequence(1, length({c})), i -> substring({c}, i, 1))")
+        )).cast("long").alias("distinct_chars"),
+        ent.cast("double").alias("entropy_bits"),
+    )

@@ -925,6 +925,36 @@ FROM b
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.char_entropy(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("id"),
+        "n_chars", "distinct_chars", "entropy_bits",
+    )
+
+
+# fold visits the SORTED distinct chars on both sides → identical float
+# accumulation order
+ORACLE_CHAR_ENTROPY = """
+WITH t AS (SELECT doc_id AS id, text, length(text) AS n FROM documents),
+c AS (
+  SELECT id, n,
+         list_transform(generate_series(1, n), i -> substr(text, i, 1)) AS ch
+  FROM t
+),
+u AS (SELECT id, n, ch, list_sort(list_distinct(ch)) AS uniq FROM c)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(n AS BIGINT) AS n_chars,
+       CAST(len(uniq) AS BIGINT) AS distinct_chars,
+       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(uniq, cc ->
+           -(len(list_filter(ch, x -> x = cc)) * 1.0 / n)
+            * log2(len(list_filter(ch, x -> x = cc)) * 1.0 / n))),
+         (a, b) -> a + b), 4) AS DOUBLE) AS entropy_bits
+FROM u
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return text_ops.fingerprints(docs, "doc_id", "text").select(
@@ -1395,6 +1425,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "langid": q_langid,
     "fingerprints": q_fingerprints,
+    "char_entropy": q_char_entropy,
     "binary_metadata": q_binary_metadata,
     "frame_sampling": q_frame_sampling,
     "curation_pipeline": q_curation_pipeline,
@@ -1428,6 +1459,7 @@ ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
     "langid": _langid_oracle(),
     "fingerprints": ORACLE_FINGERPRINTS,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
     "binary_metadata": ORACLE_BINARY_METADATA,
     "frame_sampling": ORACLE_FRAME_SAMPLING,
     "curation_pipeline": _curation_oracle(),

@@ -568,3 +568,19 @@ def test_keep_best_per_cluster_policy(spark):
     # cluster 10: quality tie at 90 between ids 2,3 → min id 2 kept
     # cluster 20: tie at 10 between 4,5 → 4 kept
     assert out == {1: False, 2: True, 3: False, 4: True, 5: False}
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd")], "doc_id long, text string"
+    )
+    got = {r.id: r for r in text_ops.char_entropy(df, "doc_id", "text").collect()}
+    assert got[0].entropy_bits == 0.0 and got[0].distinct_chars == 1
+    assert got[1].entropy_bits == pytest.approx(1.0)
+    assert got[2].entropy_bits == pytest.approx(2.0)
+    # map-only: no shuffle, no UDF in the row path
+    out = text_ops.char_entropy(df, "doc_id", "text")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
