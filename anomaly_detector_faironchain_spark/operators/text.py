@@ -243,6 +243,7 @@ def bm25_scores(
     query_terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
+    persist: bool = False,
 ) -> DataFrame:
     """BM25 relevance of every document against a bag of query terms —
     the lexical counterpart of the embedding similarity search, used for
@@ -252,12 +253,14 @@ def bm25_scores(
     Lucene's idf form: ln(1 + (N − df + 0.5)/(df + 0.5));
     score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
 
-    Scale shape: one pass computes per-(doc, term) tf for the handful of
-    query terms (everything else is filtered inside the array, so the
-    explode emits only matching tokens); N and avgdl ride a 1-row
-    broadcast cross join, the per-term df table is term-cardinality and
-    broadcasts into the scoring expression. No second corpus scan, no
-    UDF."""
+    Scale shape: the tokenized base frame feeds three consumers (the
+    N/avgdl aggregate, the tf explode, and the final all-ids join), i.e.
+    three narrow column-pruned scans of the source — the explode emits
+    ONLY matching tokens (the filter runs inside the array), N/avgdl ride
+    a 1-row broadcast cross join, and the per-term df table is
+    term-cardinality and broadcasts into the scoring expression. Pass
+    persist=True to cache the tokenized base and collapse the three
+    scans to one when the corpus is not already warm. No UDF anywhere."""
     terms = [t for t in query_terms]
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(
@@ -268,6 +271,8 @@ def bm25_scores(
         F.size("toks").alias("dl"),
         F.filter("toks", lambda t: t.isin(*terms)).alias("hits"),
     )
+    if persist:
+        base = base.persist()
     corpus_stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -584,3 +584,46 @@ def test_char_entropy_known_values(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_doc_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "xx"]),
+        min_size=1, max_size=37,
+    ),
+    min_size=2, max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs_tokens=_doc_strategy)
+def test_passage_dedup_matches_python_mirror(spark, docs_tokens):
+    """Exact semantics property: passage_dedup must equal a direct python
+    re-computation — split into 5-token passages, remove every passage
+    occurring in more than max_docs DISTINCT documents, reassemble in
+    order (null when nothing survives)."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.passage_dedup(
+        df, "doc_id", "text", passage_tokens=5, max_docs=1).collect()}
+
+    passages = {
+        i: [" ".join(toks[j * 5:(j + 1) * 5])
+            for j in range((len(toks) + 4) // 5)]
+        for i, toks in enumerate(docs_tokens)
+    }
+    seen_in = {}
+    for i, ps in passages.items():
+        for p in set(ps):
+            seen_in.setdefault(p, set()).add(i)
+    boiler = {p for p, ids in seen_in.items() if len(ids) > 1}
+    for i, ps in passages.items():
+        kept = [p for p in ps if p not in boiler]
+        r = out[i]
+        assert r["n_passages"] == len(ps)
+        assert r["n_removed"] == sum(p in boiler for p in ps)
+        assert r["clean_text"] == (" ".join(kept) if kept else None)
