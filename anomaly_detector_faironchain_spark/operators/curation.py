@@ -65,18 +65,31 @@ def cap_per_group(
     any single domain's share of the training mix — and the generic
     "top-k documents per source by quality" selector.
 
-    One shuffle keyed by group; within a group the window is a per-key
-    sort, so a mega-domain is bounded by its own row count, not the
-    corpus (AQE skew-split applies — the window key is the shuffle key).
+    Skew note: row_number() needs the whole group in ONE task, and AQE
+    skew mitigation only splits join/rebalance partitions — never window
+    partitions — so a mega-domain would otherwise funnel its entire row
+    count through a single task. The mitigation here is a two-phase
+    top-k: phase 1 keeps at most k rows per (input-partition, group)
+    with a window over (spark_partition_id, group) — each task sorts
+    only its own slice, no shuffle — which bounds the global window's
+    input to k · #partitions rows per group. Correct for any partition
+    assignment (the true global top-k always survives phase 1, whatever
+    AQE does to partition ids), so the final ranking is unchanged.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(order_col).desc(), F.col(id_col).asc()
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    pre = Window.partitionBy(F.spark_partition_id(), F.col(group_col)) \
+        .orderBy(*order)
+    reduced = (
+        df.withColumn("__pre__", F.row_number().over(pre))
+        .filter(F.col("__pre__") <= k)
+        .drop("__pre__")
     )
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        df.withColumn("__rn__", F.row_number().over(w))
+        reduced.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= k)
         .withColumnRenamed("__rn__", "group_rank")
     )

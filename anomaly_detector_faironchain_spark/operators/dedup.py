@@ -517,16 +517,24 @@ def bloom_screen(
     shuffling the corpus. Returns (id, maybe_dup, is_dup).
 
     Two stages, the textbook membership-at-scale shape:
-      1. SCREEN — history is scanned ONCE map-only; each partition emits
-         its num_bits/8-byte partial bitmap (mapInPandas), the driver ORs
-         them (#partitions × m/8 bytes — the same merge a JVM tree
-         aggregation would do) and broadcasts the result; every corpus
-         row tests membership in an Arrow-batched UDF (vectorized bit
-         probes, no shuffle). No false negatives by construction.
+      1. SCREEN — the history digest scan is map-only; each partition
+         emits its num_bits/8-byte partial bitmap (mapInPandas), the
+         partials are OR-merged EXECUTOR-SIDE in a two-level fan-in
+         (≤``merge_fanin`` intermediate bitmaps, then one final merge
+         task), so the driver materializes exactly ONE m/8-byte bitmap
+         regardless of partition count — at a production filter (10⁹
+         items → ~1.5 GB bitmap) × hundreds of partitions the old
+         collect-all-partials shape was a driver OOM. The merged bitmap
+         broadcasts and every corpus row tests membership in an
+         Arrow-batched UDF (vectorized bit probes, no shuffle). No false
+         negatives by construction.
       2. VERIFY — only screened candidates (true dups + ~fpp false
          positives) are checked exactly: the (small) candidate md5 set
          semi-joins history and the confirmed set broadcasts back, so a
-         64-bit xxhash collision can never mark a non-duplicate.
+         64-bit xxhash collision can never mark a non-duplicate. NOTE:
+         this stage re-scans history (recomputing digests) — two full
+         history scans per call, by design; callers that can afford it
+         may persist ``history`` before calling to pay the scan once.
 
     Spark's own bloom machinery (BloomFilterAggregate / might_contain)
     is runtime-filter-internal and not SQL-registered in this build, so
@@ -538,9 +546,15 @@ def bloom_screen(
     index): the Bloom screen is for when even the digest index is too
     big to join every batch against — ship MBs of filter instead.
     k (probe count) is chosen from num_bits/expected_items as
-    round(ln 2 · m/n)."""
+    round(ln 2 · m/n). num_bits must be a positive multiple of 8 (the
+    bitmap is byte-packed; probe positions range over [0, num_bits))."""
     import math
 
+    if num_bits < 8 or num_bits % 8 != 0:
+        raise ValueError(
+            f"num_bits must be a multiple of 8 and >= 8, got {num_bits}"
+        )
+    merge_fanin = 8
     h_text = hist_text_col or text_col
     n_probes = max(1, round(math.log(2) * num_bits / max(expected_items, 1)))
     cur = corpus.select(
@@ -566,10 +580,26 @@ def bloom_screen(
                 )
         yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    parts = hist.select("h64").mapInPandas(build, "bm binary").collect()
-    bloom = np.zeros(num_bits // 8, dtype=np.uint8)
-    for r in parts:
-        bloom |= np.frombuffer(r.bm, dtype=np.uint8)
+    def or_merge(batches):
+        acc = np.zeros(num_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            for raw in pdf["bm"]:
+                acc |= np.frombuffer(raw, dtype=np.uint8)
+        yield pd.DataFrame({"bm": [acc.tobytes()]})
+
+    # two-level executor-side reduction: P partition bitmaps → ≤fanin
+    # intermediates → 1; the driver collects exactly one bitmap row.
+    parts = (
+        hist.select("h64")
+        .mapInPandas(build, "bm binary")
+        .repartition(merge_fanin)
+        .mapInPandas(or_merge, "bm binary")
+        .repartition(1)
+        .mapInPandas(or_merge, "bm binary")
+        .collect()
+    )
+    assert len(parts) == 1, f"expected one merged bitmap, got {len(parts)}"
+    bloom = np.frombuffer(parts[0].bm, dtype=np.uint8)
     bc = corpus.sparkSession.sparkContext.broadcast(bloom.tobytes())
 
     @F.pandas_udf("boolean")
@@ -619,12 +649,17 @@ def keep_best_per_cluster(
     keyed by cluster; cluster sizes are near-dup group sizes (small), so
     no skew mitigation is needed — a pathological mega-cluster is a
     data-quality signal surfaced by the cluster_size column upstream,
-    not a plan hazard."""
+    not a plan hazard.
+
+    Quality is attached with a LEFT join and ranked nulls-last: a cluster
+    member with no quality row is never silently dropped — it stays in
+    the output (keep=false unless it is the only member) and can never
+    outrank a member that does have a quality score."""
     w = Window.partitionBy(cluster_col).orderBy(
-        F.col(quality_col).desc(), F.col(id_col).asc()
+        F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
     )
     joined = clusters.select(id_col, cluster_col).join(
-        quality.select(id_col, quality_col), id_col
+        quality.select(id_col, quality_col), id_col, "left"
     )
     return joined.withColumn(
         "keep", F.row_number().over(w) == 1

@@ -99,17 +99,55 @@ def hyperplane_components(spark, n_planes: int = 8, dim: int = DIM) -> DataFrame
     )
 
 
+def _plane_matrix(n_planes: int, dim: int):
+    """(n_planes, dim) ±1 numpy matrix — the exact same deterministic
+    md5(f'{p}_{d}') sign scheme as hyperplane_components, materialized
+    driver-side for the Arrow matmul path."""
+    return np.array(
+        [[_rp_sign(p, d) for d in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+
+
 def lsh_buckets(
-    corpus: DataFrame, id_col: str, vec_col: str, n_planes: int = 8
+    corpus: DataFrame, id_col: str, vec_col: str, n_planes: int = 8,
+    method: str = "arrow", dim: int = DIM,
 ) -> DataFrame:
     """(id, bucket int): bucket bit p = [Σ_d c(p,d)·vec[d] ≥ 0].
 
-    The projection is an explode-join-agg: corpus × (n_planes·dim) small
-    broadcast table, grouped back per (id, plane). One shuffle keyed by
-    id — at scale prefer the same computation as a vectorized pandas UDF
-    (matrix multiply per Arrow batch); this formulation is the
-    oracle-exact one.
+    method="arrow" (default, the scale path): one vectorized pandas UDF —
+    a single (batch × dim)·(dim × n_planes) float64 matmul per Arrow
+    batch, then a sign-bit pack. MAP-ONLY: zero shuffles, the corpus is
+    read once and never exploded (asserted by
+    tests/test_plan_shape.py::test_lsh_arrow_bucketing_is_map_only).
+
+    method="explode" (the oracle-exact form): corpus posexploded to n·dim
+    rows joined against the broadcast (n_planes·dim) component table and
+    grouped back per (id, plane) — shuffles n·dim rows keyed by id, which
+    is the scan bottleneck at 10^12 vectors. Kept because its per-plane
+    float accumulation is expressible in ANSI SQL for the DuckDB oracle.
+
+    Both paths use the identical ±1 plane components and produce
+    identical buckets (a sign flip would need the true projection to sit
+    within float-dust of zero; equality is asserted per-row in
+    tests/test_curation_ops.py).
     """
+    if method == "arrow":
+        planes = _plane_matrix(n_planes, dim)
+        weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+        @F.pandas_udf(T.IntegerType())
+        def bucket_udf(vecs: pd.Series) -> pd.Series:
+            x = np.vstack(vecs.to_numpy()).astype(np.float64)
+            bits = (x @ planes.T) >= 0.0
+            return pd.Series((bits @ weights).astype("int32"))
+
+        return corpus.select(
+            F.col(id_col).alias("id"),
+            bucket_udf(F.col(vec_col)).alias("bucket"),
+        )
+    if method != "explode":
+        raise ValueError(f"unknown method {method!r}")
     comp = hyperplane_components(corpus.sparkSession, n_planes)
     exploded = corpus.select(
         F.col(id_col).alias("id"),
@@ -129,10 +167,11 @@ def lsh_buckets(
 def lsh_ann_topk(
     corpus: DataFrame, id_col: str, vec_col: str,
     query_ids: list[int], k: int = 3, n_planes: int = 8,
+    method: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket,
     then exact cosine re-rank. Returns (qid, nid, cos)."""
-    buckets = lsh_buckets(corpus, id_col, vec_col, n_planes)
+    buckets = lsh_buckets(corpus, id_col, vec_col, n_planes, method=method)
     base = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")) \
         .join(buckets.withColumnRenamed("id", "nid"), "nid")
     q = base.filter(F.col("nid").isin(query_ids)).select(
@@ -160,13 +199,36 @@ def lsh_ann_topk(
 def lsh_buckets_multi(
     corpus: DataFrame, id_col: str, vec_col: str,
     n_planes: int = 8, n_tables: int = 1,
+    method: str = "arrow", dim: int = DIM,
 ) -> DataFrame:
     """(id, tbl, bucket): n_tables independent hyperplane tables — table
     t uses global plane ids [t·n_planes, (t+1)·n_planes) so every table's
     planes are distinct but still derived from the same deterministic
     md5 scheme (ANSI-SQL-reproducible). OR-amplification: a pair is a
     candidate if it collides in ANY table, lifting recall from r to
-    1−(1−r)^T at T× the bucketing cost."""
+    1−(1−r)^T at T× the bucketing cost.
+
+    method="arrow" (default): ONE matmul against all n_tables·n_planes
+    planes per Arrow batch, sign-bits packed per table, then a posexplode
+    of the n_tables-element bucket array — map-only, no Exchange (the
+    n·dim explode-join-agg of method="explode" is the oracle form)."""
+    if method == "arrow":
+        planes = _plane_matrix(n_planes * n_tables, dim)
+        weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def buckets_udf(vecs: pd.Series) -> pd.Series:
+            x = np.vstack(vecs.to_numpy()).astype(np.float64)
+            bits = ((x @ planes.T) >= 0.0).reshape(len(x), n_tables, n_planes)
+            codes = (bits @ weights).astype("int32")       # (n, n_tables)
+            return pd.Series(list(codes))
+
+        return corpus.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(buckets_udf(F.col(vec_col))).alias("tbl", "bucket"),
+        ).select("id", F.col("tbl").cast("int").alias("tbl"), "bucket")
+    if method != "explode":
+        raise ValueError(f"unknown method {method!r}")
     comp = hyperplane_components(corpus.sparkSession, n_planes * n_tables)
     exploded = corpus.select(
         F.col(id_col).alias("id"),
@@ -192,7 +254,7 @@ def lsh_buckets_multi(
 def embedding_neardup_pairs(
     corpus: DataFrame, id_col: str, vec_col: str,
     threshold: float = 0.97, n_planes: int = 8, n_tables: int = 1,
-    max_bucket: int | None = None,
+    max_bucket: int | None = None, method: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed: candidate
     pairs are generated within buckets on IDS ONLY (vectors never ride the
@@ -205,7 +267,9 @@ def embedding_neardup_pairs(
     max_bucket smallest ids (deterministic), trading recall inside the
     pathological bucket for a bounded plan; same design as the dedup
     LSH banding cap."""
-    buckets = lsh_buckets_multi(corpus, id_col, vec_col, n_planes, n_tables)
+    buckets = lsh_buckets_multi(
+        corpus, id_col, vec_col, n_planes, n_tables, method=method
+    )
     if max_bucket is not None:
         w = Window.partitionBy("tbl", "bucket").orderBy("id")
         buckets = (

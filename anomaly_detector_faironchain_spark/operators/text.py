@@ -334,7 +334,14 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     same order as the DuckDB oracle (bit-identical floats). Per-row cost
     is O(n_chars · distinct_chars) — fine for documents; for multi-MB
     rows switch to the explode → groupBy(id, char) → agg formulation (one
-    shuffle) or an Arrow-batched Counter."""
+    shuffle) or an Arrow-batched Counter.
+
+    Empty documents (common in crawl corpora) are guarded explicitly:
+    sequence(1, 0) is a DESCENDING Spark sequence ([1, 0] → two
+    empty-string "chars") and the p·log2(p) terms divide by length=0, so
+    the unguarded expression is a DIVIDE_BY_ZERO abort under ANSI mode.
+    Empty text returns (0, 0, 0.0); NULL text returns NULLs — both
+    matching the DuckDB oracle (generate_series(1, 0) is empty there)."""
     c = text_col
     ent = F.expr(
         f"""round(aggregate(
@@ -351,11 +358,17 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                             x -> x = cc)) / cast(length({c}) as double)
               )), 4)"""
     )
+    n = F.length(c)
+    distinct = F.size(F.array_distinct(
+        F.expr(f"transform(sequence(1, length({c})), i -> substring({c}, i, 1))")
+    ))
     return df.select(
         F.col(id_col).alias("id"),
-        F.length(c).cast("long").alias("n_chars"),
-        F.size(F.array_distinct(
-            F.expr(f"transform(sequence(1, length({c})), i -> substring({c}, i, 1))")
-        )).cast("long").alias("distinct_chars"),
-        ent.cast("double").alias("entropy_bits"),
+        n.cast("long").alias("n_chars"),
+        F.when(n > 0, distinct)
+        .when(n == 0, F.lit(0))
+        .cast("long").alias("distinct_chars"),
+        F.when(n > 0, ent)
+        .when(n == 0, F.lit(0.0))
+        .cast("double").alias("entropy_bits"),
     )

@@ -868,3 +868,59 @@ FROM c, t ORDER BY cnt DESC, key ASC LIMIT 20
 
 QUERIES.update({"key_skew": q_key_skew})
 ORACLES.update({"key_skew": ORACLE_KEY_SKEW})
+
+
+# ---------------------------------------------------------------------------
+# Driver-facing registry order.
+#
+# The correctness driver checks the FIRST 50 entries of queries() in dict
+# insertion order per round. Round 2 registered 73 queries with the 31
+# curation entries inserted early, which pushed 23 previously- or
+# never-driver-checked queries (the EP2 core — mahalanobis, triangles,
+# egonet, final_scores — plus the temporal/training groups) past the cap
+# even though they are green (r1 rows + judge oracle re-runs). The list
+# below pins the priority order: first the 23 entries that still lack a
+# driver-written correctness row, then every query whose operator code
+# changed this round (must be re-proven), then the north-rule validation
+# core; twice-proven curation entries rotate to the back. Names absent
+# from the list keep their relative insertion order after it.
+# ---------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # -- 13 green-in-r1 but dropped by the r2 cap --------------------------
+    "mahalanobis", "triangles", "egonet", "final_scores",
+    "node_features", "self_loops", "mutual_pairs",
+    "wei_decode", "wei_to_eth",
+    "drift_by_group", "spearman", "whitelist_flag", "sessionization",
+    # -- 10 never driver-checked (temporal / training / diagnostics) -------
+    "asof_attribution", "interval_follow", "hll_uniqueness_screen",
+    "key_skew",
+    "train_split", "corpus_mixture", "doc_chunks", "token_packing",
+    "top_terms", "stratified_sample",
+    # -- round-3 code changes: re-prove against the oracle ------------------
+    "bloom_dedup_screen",          # executor-side tree-OR bitmap merge
+    "lsh_buckets", "lsh_ann_topk",  # Arrow matmul bucketing (new default)
+    "embedding_cosine_neardup", "embedding_cosine_neardup_2t",
+    "char_entropy",                # empty/NULL-text guard
+    "dedup_keepers",               # left-join + nulls-last retention
+    "domain_quota",                # two-phase top-k cap_per_group
+    # -- north-rule validation core (keep inside the cap every round) ------
+    "embedding_validation", "validation_verdicts", "profile_stats",
+    "unique_duplicates", "fk_violations_broadcast", "fk_violations_salted",
+    "quantile_thresholds", "zscore", "robust_z", "hazen_percentile",
+    "psi_drift", "ks_drift", "rule_flags",
+    "topk_orders", "ranked_per_segment", "pricing_summary",
+    # -- iterative graph kernels (rows-only oracles are the weak checks;
+    #    keep them driver-visible) -----------------------------------------
+    "connected_components", "pagerank", "edge_aggregation",
+]
+
+
+def _reorder(d: dict, priority: list[str]) -> dict:
+    out = {k: d[k] for k in priority if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
+QUERIES = _reorder(QUERIES, _DRIVER_PRIORITY)
+ORACLES = _reorder(ORACLES, _DRIVER_PRIORITY)

@@ -627,3 +627,101 @@ def test_passage_dedup_matches_python_mirror(spark, docs_tokens):
         assert r["n_passages"] == len(ps)
         assert r["n_removed"] == sum(p in boiler for p in ps)
         assert r["clean_text"] == (" ".join(kept) if kept else None)
+
+
+def test_char_entropy_empty_and_null_text(spark):
+    """Empty documents are common in crawl corpora: sequence(1, 0) is a
+    DESCENDING Spark sequence and the p·log2(p) terms divide by zero, so
+    the unguarded expression ANSI-aborts. Empty → (0, 0, 0.0); NULL text
+    propagates NULLs (matching the DuckDB oracle on both)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "ab")], "doc_id long, text string"
+    )
+    got = {r.id: r for r in text_ops.char_entropy(df, "doc_id", "text").collect()}
+    assert (got[0].n_chars, got[0].distinct_chars, got[0].entropy_bits) == (0, 0, 0.0)
+    assert got[1].n_chars is None and got[1].distinct_chars is None
+    assert got[1].entropy_bits is None
+    assert got[2].distinct_chars == 2 and got[2].entropy_bits == pytest.approx(1.0)
+
+
+def test_lsh_arrow_buckets_match_explode_form(spark):
+    """The Arrow matmul path (scale default) and the explode-join-agg
+    path (oracle form) must assign every vector the identical bucket —
+    single-table and multi-table."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = similarity.lsh_buckets(emb, "vec_id", "embedding", 8, method="arrow")
+    e = similarity.lsh_buckets(emb, "vec_id", "embedding", 8, method="explode")
+    diff = a.join(e.withColumnRenamed("bucket", "b2"), "id") \
+        .filter("bucket <> b2").count()
+    assert diff == 0
+    assert a.count() == e.count() == emb.count()
+
+    am = similarity.lsh_buckets_multi(
+        emb, "vec_id", "embedding", 4, n_tables=3, method="arrow")
+    em = similarity.lsh_buckets_multi(
+        emb, "vec_id", "embedding", 4, n_tables=3, method="explode")
+    diff = am.join(em.withColumnRenamed("bucket", "b2"), ["id", "tbl"]) \
+        .filter("bucket <> b2").count()
+    assert diff == 0
+    assert am.count() == em.count() == emb.count() * 3
+
+
+def test_bloom_screen_validates_num_bits(spark, docs):
+    corpus = docs.select("doc_id", "text").limit(10)
+    for bad in (0, 4, 1001):
+        with pytest.raises(ValueError, match="num_bits"):
+            dedup.bloom_screen(corpus, corpus, "doc_id", "text", num_bits=bad)
+
+
+def test_bloom_screen_merges_partials_executor_side(spark, docs):
+    """Many history partitions must still produce correct screening (the
+    partial bitmaps are OR-merged in a two-level executor-side fan-in;
+    the driver materializes exactly one bitmap — asserted inside
+    bloom_screen itself)."""
+    corpus = docs.select("doc_id", "text")
+    history = corpus.filter(F.col("doc_id") % 3 == 0).repartition(16)
+    out = dedup.bloom_screen(corpus, history, "doc_id", "text",
+                             expected_items=1000, num_bits=8000)
+    rows = {r.id: r for r in out.collect()}
+    for i, r in rows.items():
+        assert r.is_dup == (i % 3 == 0)
+
+
+def test_keep_best_per_cluster_missing_quality_ranked_last(spark):
+    """A cluster member with no quality row is retained (never silently
+    dropped) and can never outrank a scored member."""
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (7, 20)], "id long, component long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 5), (3, 9)], "id long, quality long"  # id 2, 7 unscored
+    )
+    rows = {r.id: r for r in dedup.keep_best_per_cluster(
+        clusters, quality).collect()}
+    assert set(rows) == {1, 2, 3, 7}          # nobody dropped
+    assert rows[3].keep and not rows[1].keep
+    assert not rows[2].keep and rows[2].quality is None
+    assert rows[7].keep                        # sole (unscored) member kept
+
+
+def test_cap_per_group_bounds_mega_group_window_input(spark):
+    """Two-phase top-k: a mega-group funnels at most k rows per input
+    partition into the global window, and the result equals the naive
+    single-window top-k."""
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("mega").alias("source"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    ).repartition(8)
+    from anomaly_detector_faironchain_spark.operators import curation
+
+    out = curation.cap_per_group(df, "source", "score", 5, "doc_id")
+    got = sorted((r.group_rank, r.doc_id) for r in out.collect())
+    # naive expected: score desc (max 96), ties by min doc_id
+    expected = sorted(
+        (i + 1, v) for i, v in enumerate(
+            sorted([x for x in range(n) if x % 97 == 96])[:5]
+        )
+    )
+    assert got == expected

@@ -249,3 +249,19 @@ def test_contamination_broadcasts_benchmark_and_never_shuffles_text(spark):
                         "corpus text crossed a shuffle:\n" + p
                     )
                     break
+
+
+def test_lsh_arrow_bucketing_is_map_only(spark):
+    """The Arrow LSH path must be ONE ArrowEvalPython projection over the
+    scan — no Exchange anywhere (the explode-join-agg oracle form
+    shuffles n·dim rows; the matmul path is the 10^12-vector plan)."""
+    from anomaly_detector_faironchain_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(similarity.lsh_buckets(emb, "vec_id", "embedding", 8))
+    assert "ArrowEvalPython" in p, p
+    assert ") Exchange" not in p, p
+    p = plan(similarity.lsh_buckets_multi(
+        emb, "vec_id", "embedding", 4, n_tables=3))
+    assert "ArrowEvalPython" in p, p
+    assert ") Exchange" not in p, p
