@@ -196,6 +196,7 @@ def validate_table(
     violation_limit_per_check: int | None = 1000,
     broadcast_refs: bool = True,
     fk_salt: int = 0,
+    eager_warm: bool = True,
 ) -> ValidationResult:
     """Run the full compiled suite for one table.
 
@@ -203,6 +204,13 @@ def validate_table(
     drift_refs: {col: reference histogram DataFrame (bucket, cnt)} for
       Drift constraints — typically the previous run's histogram loaded
       from the checkpoint dir.
+    eager_warm: warm the two cached full-input scans (fused profile +
+      shared violation scan) CONCURRENTLY before the uniqueness phase.
+      Without it the approx-screen's suspect-partition collect computes
+      the profile as a lone serial job — the single biggest job-level
+      serialization in the suite (the two scans are independent full
+      passes; overlapping them fills each other's stage tails, the same
+      trick ValidationResult.materialize plays for verdicts+violations).
     """
     refs = refs or {}
     drift_refs = drift_refs or {}
@@ -259,6 +267,16 @@ def validate_table(
         mv = _metric_verdicts(profile, spec)
         if mv is not None:
             verdict_parts.append(mv)
+
+    if eager_warm:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            warms = [ex.submit(profile.count)]
+            if row_viol is not None:
+                warms.append(ex.submit(row_viol.count))
+            for w in warms:
+                w.result()
 
     # Pass 2: uniqueness exact fallback.
     for u in spec.by_type(Unique):
