@@ -69,6 +69,20 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--no-iforest", action="store_true")
     a.add_argument("--format", default="parquet",
                    choices=["parquet", "csv", "iceberg", "table"])
+    a.add_argument("--csv", action="store_true",
+                   help="also write the result as CSV next to the parquet "
+                        "(reference output parity: every reference stage "
+                        "writes CSV, run_anomaly_analysis_pipeline.py:99)")
+    e.add_argument("--csv", action="store_true",
+                   help="also write each abstract table as CSV")
+
+    s = sub.add_parser("serve", help="EP3: HTTP endpoints over results")
+    s.add_argument("--data-root", required=True,
+                   help="root of {chain}/{YYYY}/{MM}/ monthly result parquet")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--max-sql-rows", type=int, default=10_000,
+                   help="driver-side cap on /v1/sql result rows")
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName(f"adfs-{args.cmd}").getOrCreate()
@@ -77,6 +91,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_etl(spark, args)
     if args.cmd == "analyze":
         return _run_analyze(spark, args)
+    if args.cmd == "serve":
+        return _run_serve(spark, args)
 
     df = load_table(spark, args.input, args.format)
     refs = {}
@@ -109,6 +125,9 @@ def _run_etl(spark: SparkSession, args) -> int:
     tables = abstract.build_all(raw_blocks, raw_transfers)
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+        if args.csv:
+            spark.read.parquet(f"{args.out}/{name}").write.mode(
+                "overwrite").option("header", True).csv(f"{args.out}/csv/{name}")
     summary = {"status": "complete", "out": args.out,
                "tables": {n: spark.read.parquet(f"{args.out}/{n}").count()
                           for n in tables}}
@@ -137,8 +156,30 @@ def _run_analyze(spark: SparkSession, args) -> int:
         blocks=blocks,
     )
     result.write.mode("overwrite").parquet(args.out)
+    if args.csv:
+        spark.read.parquet(args.out).write.mode("overwrite").option(
+            "header", True).csv(f"{args.out.rstrip('/')}_csv")
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"status": "complete", "out": args.out, "accounts": n}))
+    return 0
+
+
+def _run_serve(spark: SparkSession, args) -> int:
+    """EP3: serve /v1/top, /v1/address, /v1/sql over monthly result
+    parquet (reference api/app.py:18-188)."""
+    from anomaly_detector_faironchain_spark.plans import httpserve
+
+    server = httpserve.serve(spark, args.data_root, args.host, args.port,
+                             max_sql_rows=args.max_sql_rows)
+    host, port = server.server_address[:2]
+    print(json.dumps({"status": "serving", "host": host, "port": port,
+                      "data_root": args.data_root}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
     return 0
 
 

@@ -74,23 +74,60 @@ IMAGE_FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def decode_image_features(payloads: DataFrame, fake: bool = False) -> DataFrame:
-    """Image decode + feature extraction (STUB).
+def _pil_image():
+    """Optional real codec: PIL if importable, else None (the sandbox
+    ships no image libraries — callers fall back to the stub)."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
 
-    The real implementation would decode each payload (PIL/opencv) inside
-    the same mapInPandas shape. fake=True substitutes a deterministic
-    pseudo-decode (dimensions/luma derived from the byte stream) so the
-    Spark plumbing — schema, batching, partitioning — is testable in this
-    environment.
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image_features(payloads: DataFrame, fake: bool = False) -> DataFrame:
+    """Image decode + feature extraction.
+
+    fake=True: deterministic pseudo-decode (dimensions/luma derived from
+    the byte stream) so the Spark plumbing — schema, batching,
+    partitioning — is testable without codecs. fake=False: REAL decode
+    via PIL when importable (width/height from the header, mean_luma over
+    the 8-bit grayscale pixels), else NotImplementedError — decoding
+    happens inside the same mapInPandas slot either way, so the plan
+    shape is identical.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if fake else _pil_image()
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable in this environment; "
-                    "use fake=True for the deterministic pseudo-decoder"
-                )
+                if Image is None:
+                    raise NotImplementedError(
+                        "image codecs unavailable in this environment; "
+                        "use fake=True for the deterministic pseudo-decoder"
+                    )
+                import io
+
+                ids, ws, hs, lumas = [], [], [], []
+                for i, b in zip(pdf["id"], pdf["payload"]):
+                    img = Image.open(io.BytesIO(bytes(b)))
+                    gray = img.convert("L")
+                    hist = gray.histogram()
+                    n_px = sum(hist)
+                    ids.append(i)
+                    ws.append(img.width)
+                    hs.append(img.height)
+                    lumas.append(
+                        sum(v * c for v, c in enumerate(hist)) / n_px
+                        if n_px else 0.0
+                    )
+                yield pd.DataFrame({
+                    "id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                })
+                continue
             payload = pdf["payload"]
             n = payload.map(len)
             yield pd.DataFrame({

@@ -59,3 +59,35 @@ def test_cli_analyze_writes_result(spark, raw_dirs, tmp_path, capsys):
     res = spark.read.parquet(out)
     cols = set(res.columns)
     assert {"final_score_0_100", "H1_flag", "is_infra"} <= cols
+
+
+def test_cli_analyze_csv_flag_roundtrips(spark, raw_dirs, tmp_path, capsys):
+    """--csv writes the result as CSV next to the parquet (reference
+    output parity: run_anomaly_analysis_pipeline.py:99 writes CSV at
+    every stage); read it back and match row counts."""
+    abstract_dir = str(tmp_path / "abs3")
+    cli.main([
+        "etl", "--blocks", f"{raw_dirs}/blocks",
+        "--transfers", f"{raw_dirs}/transfers", "--out", abstract_dir,
+        "--skip-checks", "--csv",
+    ])
+    capsys.readouterr()
+    # EP1 CSV exports exist and round-trip
+    tt_csv = spark.read.option("header", True).csv(
+        f"{abstract_dir}/csv/abstract_token_transfer")
+    tt_pq = spark.read.parquet(f"{abstract_dir}/abstract_token_transfer")
+    assert tt_csv.count() == tt_pq.count()
+    assert set(tt_csv.columns) == set(tt_pq.columns)
+
+    out = str(tmp_path / "result3")
+    rc = cli.main([
+        "analyze",
+        "--transfers", f"{abstract_dir}/abstract_token_transfer",
+        "--out", out, "--min-amount", "0", "--no-iforest", "--csv",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    res_csv = spark.read.option("header", True).csv(f"{out}_csv")
+    res_pq = spark.read.parquet(out)
+    assert res_csv.count() == res_pq.count()
+    assert set(res_csv.columns) == set(res_pq.columns)

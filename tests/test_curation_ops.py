@@ -725,3 +725,29 @@ def test_cap_per_group_bounds_mega_group_window_input(spark):
         )
     )
     assert got == expected
+
+
+def test_real_image_decode_with_pil(spark):
+    """Real decode path (fake=False) — exercised only when PIL is
+    importable; the sandbox default is the NotImplementedError stub,
+    which test_sample_frames_and_resize_plumbing pins."""
+    Image = multimodal._pil_image()
+    if Image is None:
+        pytest.skip("PIL not installed — stub path covered elsewhere")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 4), color=(255, 255, 255)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "id long, payload binary")
+    row = multimodal.decode_image_features(df, fake=False).collect()[0]
+    assert (row.width, row.height) == (8, 4)
+    assert row.mean_luma == pytest.approx(255.0)
+
+
+def test_fake_decode_raises_without_codecs(spark):
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "id long, payload binary")
+    if multimodal._pil_image() is not None:
+        pytest.skip("PIL installed — real path covered above")
+    with pytest.raises(Exception, match="(?i)codecs unavailable"):
+        multimodal.decode_image_features(df, fake=False).collect()
