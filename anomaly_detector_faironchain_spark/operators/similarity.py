@@ -17,6 +17,8 @@ shuffled by vector payload.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -101,12 +103,19 @@ def hyperplane_components(spark, n_planes: int = 8, dim: int = DIM) -> DataFrame
 
 def _plane_matrix(n_planes: int, dim: int):
     """(n_planes, dim) ±1 numpy matrix — the exact same deterministic
-    md5(f'{p}_{d}') sign scheme as hyperplane_components, materialized
-    driver-side for the Arrow matmul path."""
+    md5(f'{p}_{d}') sign scheme as hyperplane_components. Depends only on
+    (p, d), so executors rebuild it bit-identically from the closure ints
+    (nothing vector-sized is serialized); memoized per worker since the
+    Arrow UDFs call it once per batch."""
     return np.array(
         [[_rp_sign(p, d) for d in range(dim)] for p in range(n_planes)],
         dtype=np.float64,
     )
+
+
+@lru_cache(maxsize=32)
+def _plane_matrix_cached(n_planes: int, dim: int):
+    return _plane_matrix(n_planes, dim)
 
 
 def lsh_buckets(
@@ -133,12 +142,17 @@ def lsh_buckets(
     tests/test_curation_ops.py).
     """
     if method == "arrow":
-        planes = _plane_matrix(n_planes, dim)
         weights = (2 ** np.arange(n_planes)).astype(np.int64)
 
         @F.pandas_udf(T.IntegerType())
         def bucket_udf(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
             x = np.vstack(vecs.to_numpy()).astype(np.float64)
+            # dim comes from the DATA (like the explode path's
+            # posexplode) — a fixed dim would crash any corpus whose
+            # embedding width differs from the module default
+            planes = _plane_matrix_cached(n_planes, x.shape[1])
             bits = (x @ planes.T) >= 0.0
             return pd.Series((bits @ weights).astype("int32"))
 
@@ -148,7 +162,7 @@ def lsh_buckets(
         )
     if method != "explode":
         raise ValueError(f"unknown method {method!r}")
-    comp = hyperplane_components(corpus.sparkSession, n_planes)
+    comp = hyperplane_components(corpus.sparkSession, n_planes, dim=dim)
     exploded = corpus.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("d", "x"),
@@ -213,12 +227,14 @@ def lsh_buckets_multi(
     of the n_tables-element bucket array — map-only, no Exchange (the
     n·dim explode-join-agg of method="explode" is the oracle form)."""
     if method == "arrow":
-        planes = _plane_matrix(n_planes * n_tables, dim)
         weights = (2 ** np.arange(n_planes)).astype(np.int64)
 
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
         def buckets_udf(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="object")
             x = np.vstack(vecs.to_numpy()).astype(np.float64)
+            planes = _plane_matrix_cached(n_planes * n_tables, x.shape[1])
             bits = ((x @ planes.T) >= 0.0).reshape(len(x), n_tables, n_planes)
             codes = (bits @ weights).astype("int32")       # (n, n_tables)
             return pd.Series(list(codes))
@@ -229,7 +245,7 @@ def lsh_buckets_multi(
         ).select("id", F.col("tbl").cast("int").alias("tbl"), "bucket")
     if method != "explode":
         raise ValueError(f"unknown method {method!r}")
-    comp = hyperplane_components(corpus.sparkSession, n_planes * n_tables)
+    comp = hyperplane_components(corpus.sparkSession, n_planes * n_tables, dim=dim)
     exploded = corpus.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("d", "x"),

@@ -59,9 +59,21 @@ class ValidationResult:
     # the persisted full violation scan shared by verdicts AND violations
     # (None when materialize_violations=False)
     row_violations: DataFrame | None = None
+    # every frame validate_table persisted (profile, row scan, FK counts/
+    # samples, drift histograms) — release with unpersist() when done
+    cached_frames: list[DataFrame] = field(default_factory=list)
+    # True when validate_table's eager_warm already computed every cached
+    # scan — materialize() then skips straight to the final two jobs
+    warmed: bool = False
 
     def passed(self) -> bool:
         return self.verdicts.filter(~F.col("passed")).limit(1).count() == 0
+
+    def unpersist(self) -> None:
+        """Release every frame the suite persisted (executor memory at
+        100 TB is the scarce resource — free it between tables)."""
+        for f in self.cached_frames:
+            f.unpersist()
 
     def materialize(self) -> tuple[list, int]:
         """Evaluate verdicts and violations CONCURRENTLY (two Spark jobs
@@ -69,22 +81,24 @@ class ValidationResult:
         stage tails with the other's tasks, removing the serial gap two
         back-to-back actions would leave.
 
-        The two cached input scans — the fused profile and the shared
-        violation scan — are warmed first, CONCURRENTLY with each other:
-        they are independent full passes over the input, so overlapping
-        them fills each other's stage tails, and warming before the
-        consumer jobs prevents two uncached concurrent consumers of one
-        persisted frame from both computing its partitions (RDD cache
-        locking is best-effort).
+        The cached input scans are warmed first, CONCURRENTLY with each
+        other: they are independent full passes over the input, so
+        overlapping them fills each other's stage tails, and warming
+        before the consumer jobs prevents two uncached concurrent
+        consumers of one persisted frame from both computing its
+        partitions (RDD cache locking is best-effort). Skipped when
+        validate_table's eager_warm already did it (warmed=True).
         Returns (verdict_rows, n_violation_rows)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(2) as ex:
-            warms = [ex.submit(self.profile.count)]
-            if self.row_violations is not None:
-                warms.append(ex.submit(self.row_violations.count))
-            for w in warms:
-                w.result()
+        if not self.warmed:
+            targets = self.cached_frames or [
+                f for f in (self.profile, self.row_violations) if f is not None
+            ]
+            with ThreadPoolExecutor(max(2, len(targets))) as ex:
+                for w in [ex.submit(t.count) for t in targets]:
+                    w.result()
+            self.warmed = True
         with ThreadPoolExecutor(2) as ex:
             fv = ex.submit(self.verdicts.collect)
             fx = ex.submit(self.violations.count)
@@ -268,14 +282,62 @@ def validate_table(
         if mv is not None:
             verdict_parts.append(mv)
 
+    cached_frames: list[DataFrame] = [profile]
+    if row_viol is not None:
+        cached_frames.append(row_viol)
+
+    # Declare the OTHER independent full-input scans up front — FK
+    # anti-joins (pass 3) and drift histograms (pass 4) — persisting their
+    # tiny outputs, so eager_warm can run every heavy scan in ONE
+    # concurrent wave instead of leaving FK/drift to execute serially
+    # inside the final verdict job. Each is declared here and consumed in
+    # its numbered pass below (union order unchanged).
+    fk_items: list[tuple] = []
+    for fk in spec.by_type(ForeignKey):
+        if fk.ref_table not in refs:
+            raise ValueError(f"missing ref table DataFrame: {fk.ref_table}")
+        fk_counts, fk_viol = referential.check_foreign_key(
+            df,
+            list(fk.cols),
+            refs[fk.ref_table],
+            list(fk.ref_cols),
+            partition_col=spec.partition_col,
+            broadcast=broadcast_refs,
+            salt=fk_salt,
+        )
+        fk_counts = fk_counts.persist()
+        cached_frames.append(fk_counts)
+        fk_sample = None
+        if materialize_violations:
+            # cap + persist so the violations job reads the sample from
+            # cache instead of re-running the anti-join scan
+            fk_sample = (
+                fk_viol.limit(violation_limit_per_check)
+                if violation_limit_per_check
+                else fk_viol
+            ).persist()
+            cached_frames.append(fk_sample)
+        fk_items.append((fk, fk_counts, fk_sample))
+
+    drift_items: list[tuple] = []
+    for d in spec.by_type(Drift):
+        if d.col not in drift_refs:
+            raise ValueError(f"missing drift reference histogram for {d.col}")
+        if d.categorical:
+            cur = drift_ops.categorical_histogram(df, d.col, spec.partition_col)
+        else:
+            cur = drift_ops.numeric_histogram(
+                df, d.col, d.bins, d.lo, d.hi, spec.partition_col
+            )
+        cur = cur.persist()  # one small histogram row per (group, bucket)
+        cached_frames.append(cur)
+        drift_items.append((d, cur))
+
     if eager_warm:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(2) as ex:
-            warms = [ex.submit(profile.count)]
-            if row_viol is not None:
-                warms.append(ex.submit(row_viol.count))
-            for w in warms:
+        with ThreadPoolExecutor(max(2, len(cached_frames))) as ex:
+            for w in [ex.submit(c.count) for c in cached_frames]:
                 w.result()
 
     # Pass 2: uniqueness exact fallback.
@@ -306,20 +368,9 @@ def validate_table(
                 )
             )
 
-    # Pass 3: referential anti-joins.
+    # Pass 3: referential anti-joins (declared + warmed above).
     all_parts = profile.select("partition_id")
-    for fk in spec.by_type(ForeignKey):
-        if fk.ref_table not in refs:
-            raise ValueError(f"missing ref table DataFrame: {fk.ref_table}")
-        counts, viol = referential.check_foreign_key(
-            df,
-            list(fk.cols),
-            refs[fk.ref_table],
-            list(fk.ref_cols),
-            partition_col=spec.partition_col,
-            broadcast=broadcast_refs,
-            salt=fk_salt,
-        )
+    for fk, counts, fk_sample in fk_items:
         verdict_parts.append(
             all_parts.join(counts, "partition_id", "left")
             .select(
@@ -336,11 +387,8 @@ def validate_table(
             )
         )
         if materialize_violations:
-            v = viol
-            if violation_limit_per_check:
-                v = v.limit(violation_limit_per_check)
             violation_parts.append(
-                v.select(
+                fk_sample.select(
                     F.lit(spec.name).alias("table"),
                     (
                         stats.partition_expr(spec)
@@ -355,17 +403,10 @@ def validate_table(
                 )
             )
 
-    # Pass 4: drift per column, per partition, vs reference histograms.
-    for d in spec.by_type(Drift):
-        if d.col not in drift_refs:
-            raise ValueError(f"missing drift reference histogram for {d.col}")
+    # Pass 4: drift per column, per partition, vs reference histograms
+    # (histograms declared + warmed above).
+    for d, cur in drift_items:
         ref_hist = drift_refs[d.col]
-        if d.categorical:
-            cur = drift_ops.categorical_histogram(df, d.col, spec.partition_col)
-        else:
-            cur = drift_ops.numeric_histogram(
-                df, d.col, d.bins, d.lo, d.hi, spec.partition_col
-            )
         by_group = spec.partition_col is not None
         if by_group:
             cur = cur.withColumnRenamed("group_id", "group_id")
@@ -434,4 +475,6 @@ def validate_table(
         )
     return ValidationResult(spec.name, profile, verdicts, violations,
                             drift_scores, drift_histograms,
-                            row_violations=row_viol)
+                            row_violations=row_viol,
+                            cached_frames=cached_frames,
+                            warmed=eager_warm)

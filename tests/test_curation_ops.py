@@ -666,6 +666,35 @@ def test_lsh_arrow_buckets_match_explode_form(spark):
     assert am.count() == em.count() == emb.count() * 3
 
 
+def test_lsh_arrow_infers_dim_from_data(spark):
+    """Regression: the Arrow path must derive the plane-matrix width from
+    the vectors themselves (the explode path always did, via posexplode)
+    — a corpus whose embedding dim differs from the module default used
+    to crash the matmul with a core-dimension mismatch."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for dim in (3, 8, 100):
+        rows = [(i, [float(v) for v in rng.normal(size=dim)])
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = similarity.lsh_buckets(df, "vec_id", "embedding", 8,
+                                   method="arrow")
+        e = similarity.lsh_buckets(df, "vec_id", "embedding", 8,
+                                   method="explode", dim=dim)
+        diff = a.join(e.withColumnRenamed("bucket", "b2"), "id") \
+            .filter("bucket <> b2").count()
+        assert diff == 0 and a.count() == 40
+        am = similarity.lsh_buckets_multi(df, "vec_id", "embedding", 4,
+                                          n_tables=2, method="arrow")
+        em = similarity.lsh_buckets_multi(df, "vec_id", "embedding", 4,
+                                          n_tables=2, method="explode",
+                                          dim=dim)
+        diff = am.join(em.withColumnRenamed("bucket", "b2"),
+                       ["id", "tbl"]).filter("bucket <> b2").count()
+        assert diff == 0 and am.count() == 80
+
+
 def test_bloom_screen_validates_num_bits(spark, docs):
     corpus = docs.select("doc_id", "text").limit(10)
     for bad in (0, 4, 1001):

@@ -149,3 +149,40 @@ def test_vector_shape_constraint_catches_each_corruption(spark):
         ).collect()
     )
     assert bad_ids == [1, 2, 3, 4, 5, 6]
+
+
+def test_eager_warm_covers_fk_and_skips_rewarm(spark, corrupted):
+    """Round-3 overlap: validate_table(eager_warm=True) must persist the
+    FK anti-join outputs and warm them in the same concurrent wave as the
+    profile + row-violation scans (so no full-input pass is left to run
+    serially inside the final verdict job), and materialize() must not
+    re-warm what validate_table already computed."""
+    df, repos = corrupted
+    res = validate_table(df, spec(), refs={"repos": repos})
+    # profile + row_viol + fk counts + fk sample are all persisted
+    assert len(res.cached_frames) >= 4
+    assert res.warmed is True
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    verdicts, n_viol = res.materialize()
+    # verdict correctness unchanged by the restructure
+    by_check = {}
+    for r in verdicts:
+        by_check.setdefault(r.check_id, 0)
+        by_check[r.check_id] += r.n_violations
+    assert by_check["fk(repo)->repos(repo)"] == len(DANGLING)
+    assert n_viol > 0
+    res.unpersist()
+
+
+def test_eager_warm_off_matches_on(spark, corrupted):
+    df, repos = corrupted
+    on = validate_table(df, spec(), refs={"repos": repos})
+    off = validate_table(df, spec(), refs={"repos": repos}, eager_warm=False)
+    assert off.warmed is False
+    a = sorted((r.partition_id, r.check_id, r.passed, r.n_violations)
+               for r in on.verdicts.collect())
+    b = sorted((r.partition_id, r.check_id, r.passed, r.n_violations)
+               for r in off.verdicts.collect())
+    assert a == b
+    on.unpersist(); off.unpersist()
