@@ -102,11 +102,20 @@ def main() -> None:
     # (default 1; use 2-3 for record runs).
     import os
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench  # CPU canary + calibrated ceiling live in bench.py
+
+    canaries = [bench.cpu_canary(32)]
     reps = int(os.environ.get("SCALE_REPS", "1"))
     runs8, runs32 = [], []
     for _ in range(reps):
         runs8.append(run_level(8))
         runs32.append(run_level(32))
+        # stamp host health between every pair: the VM's degradation
+        # episodes hit high-parallelism Spark hardest (measured: the
+        # same binary 17 s/run and 190 s/run at local[32] in different
+        # windows) and would otherwise masquerade as a scaling regression
+        canaries.append(bench.cpu_canary(32))
     r8 = min(runs8, key=lambda r: r["sec"])
     r32 = min(runs32, key=lambda r: r["sec"])
     eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
@@ -116,6 +125,11 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "meets_target": eff >= 0.8,
+        "canary_mips": canaries,
+        "canary_ceiling_mips": bench.CANARY_CEILING_MIPS,
+        "window_healthy": bool(
+            min(canaries) >= 0.75 * bench.CANARY_CEILING_MIPS
+        ),
     }, indent=2))
 
 
