@@ -62,11 +62,25 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance: float | None = None,
     suffix: str = "_asof",
+    segment_width: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: attach, to every left row, ``value_cols``
     from the latest right row with ``right.ts <= left.ts`` (inclusive)
     sharing the ``on`` keys, plus the matched timestamp as
     ``{left_ts}{suffix}``.
+
+    ``segment_width`` (seconds) opts into the skew-mitigating plan: each
+    key's timeline is cut into segments of that width and the keyed
+    window runs per (key, segment) instead of per key, so one hot key's
+    years of history no longer serialize in a single task. Correctness
+    across segment boundaries is preserved by injecting, into every
+    segment that has left rows, one synthetic "carry-in" right row — the
+    latest right row from any STRICTLY earlier segment — computed with a
+    per-segment groupBy + a key-level running max over the (tiny,
+    one-row-per-populated-segment) summaries. Cost: the right side is
+    shuffled twice (once for the summaries, once in the main window)
+    instead of once; choose a width that gives hot keys ~10^2-10^4 rows
+    per segment. Leave ``None`` (default) for the single-shuffle plan.
 
     Timestamps may be numeric or TIMESTAMP (compared with plain
     ordering; ``tolerance`` — max allowed left.ts − right.ts — is in
@@ -109,14 +123,89 @@ def asof_join(
         F.col(right_ts).cast(ts_t).alias(matched_ts),
     ).select(*l_side.columns)  # align union column order
 
+    part_cols = list(on)
+    if segment_width is None:
+        unioned = l_side.unionByName(r_side)
+    else:
+        width = float(segment_width)
+        if width <= 0:
+            raise ValueError("segment_width must be positive")
+        seg = F.floor(
+            _epoch_seconds(F.col(left_ts), ts_t) / F.lit(width)
+        ).cast("long").alias("__seg__")
+        l_seg = l_side.select("*", seg)
+        r_seg = r_side.select("*", seg)
+
+        # Latest right row per populated (key, segment): struct max is
+        # ordered by its first field (ts), so the running max over
+        # segments is the cumulative latest right row per key. Value
+        # ties at equal ts resolve to the max struct — same contract as
+        # the unsegmented path (dedup right per (key, ts) upstream).
+        summary = r_seg.groupBy(*on, "__seg__").agg(
+            F.max(
+                F.struct(
+                    F.col(left_ts).alias("__ts__"),
+                    *[F.col(carried[c]).alias(carried[c]) for c in value_cols],
+                )
+            ).alias("__s__")
+        )
+        w_cum = (
+            Window.partitionBy(*on)
+            .orderBy("__seg__")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = summary.select(
+            *on, "__seg__",
+            F.max("__s__").over(w_cum).alias("__s__"),
+            F.lit(1).alias("__has_r__"),
+        )
+        # As-of at segment granularity: for each left segment, the
+        # cumulative-latest right row from a strictly earlier segment.
+        # Left segment probes (__has_r__=0) sort BEFORE summaries at the
+        # same segment, so same-segment right rows are excluded — they
+        # are matched positionally inside the main window instead.
+        probes = l_seg.select(*on, "__seg__").distinct().select(
+            "*",
+            F.lit(None).cast(dict(cum.dtypes)["__s__"]).alias("__s__"),
+            F.lit(0).alias("__has_r__"),
+        )
+        w_carry = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__seg__").asc(), F.col("__has_r__").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = (
+            probes.unionByName(cum.select(*probes.columns))
+            .select(
+                *on, "__seg__", "__has_r__",
+                F.last("__s__", ignorenulls=True).over(w_carry).alias("__c__"),
+            )
+            .filter((F.col("__has_r__") == 0) & F.col("__c__").isNotNull())
+        )
+        carry_rows = carry.select(
+            *[F.col(c) for c in on],
+            F.col("__c__.__ts__").alias(left_ts),
+            *[F.lit(None).cast(dict(l_side.dtypes)[c]).alias(c)
+              for c in left_only],
+            F.lit(0).alias("__is_left__"),
+            *[F.col(f"__c__.{carried[c]}").alias(carried[c])
+              for c in value_cols],
+            F.col("__c__.__ts__").alias(matched_ts),
+            F.col("__seg__"),
+        ).select(*l_seg.columns)
+        unioned = l_seg.unionByName(r_seg).unionByName(carry_rows)
+        part_cols = [*on, "__seg__"]
+
     # right rows (__is_left__=0) sort before left rows at equal ts →
     # inclusive <= match; running last(ignorenulls) carries them forward.
+    # A carry-in row's ts precedes the segment start, so it sorts first
+    # within its (key, segment) partition by construction.
     w = (
-        Window.partitionBy(*on)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col(left_ts).asc(), F.col("__is_left__").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l_side.unionByName(r_side).select(
+    filled = unioned.select(
         "*",
         *[F.last(carried[c], ignorenulls=True).over(w).alias(f"__f_{carried[c]}")
           for c in value_cols],

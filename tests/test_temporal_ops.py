@@ -99,6 +99,77 @@ def test_asof_join_single_shuffle(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_asof_join_segmented_matches_unsegmented(spark):
+    """The skew-mitigating (key, time-segment) plan must be result-
+    identical to the single-window plan, including carry-in across
+    empty segments and keys with no right rows at all."""
+    left, right = _asof_frames(spark)
+    base = {
+        (r["id"], r["v"], r["ts_asof"])
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    for width in (7.0, 15.0, 1000.0):
+        seg = {
+            (r["id"], r["v"], r["ts_asof"])
+            for r in asof_join(
+                left, right, on=["key"], left_ts="ts",
+                value_cols=["v"], segment_width=width,
+            ).collect()
+        }
+        assert seg == base, f"segment_width={width}"
+
+
+def test_asof_join_segmented_randomized_vs_pandas(spark):
+    import random
+
+    rng = random.Random(7)
+    lrows = [(i, "k%d" % rng.randrange(4), float(rng.randrange(500)))
+             for i in range(200)]
+    rrows = sorted(
+        {("k%d" % rng.randrange(4), float(rng.randrange(500)))
+         for _ in range(120)}
+    )
+    left = spark.createDataFrame(lrows, "id long, key string, ts double")
+    right = spark.createDataFrame(
+        [(k, t, t * 10.0) for k, t in rrows],
+        "key string, ts double, v double",
+    )
+    got = (
+        asof_join(left, right, on=["key"], left_ts="ts",
+                  value_cols=["v"], segment_width=50.0, tolerance=100.0)
+        .orderBy("id").toPandas()
+    )
+    lp = left.toPandas().sort_values("ts", kind="stable")
+    rp = right.toPandas().sort_values("ts", kind="stable")
+    exp = pd.merge_asof(
+        lp, rp, on="ts", by="key", direction="backward",
+        tolerance=100.0,
+    ).sort_values("id").reset_index(drop=True)
+    for _, e in exp.iterrows():
+        g = got[got["id"] == e["id"]].iloc[0]
+        if pd.isna(e["v"]):
+            assert g["v"] is None or pd.isna(g["v"])
+        else:
+            assert g["v"] == e["v"]
+
+
+def test_asof_join_segmented_partitions_by_segment(spark):
+    left, right = _asof_frames(spark)
+    plan = asof_join(
+        left, right, on=["key"], left_ts="ts", value_cols=["v"],
+        segment_width=10.0,
+    )._jdf.queryExecution().executedPlan().toString()
+    # the big window must hash-partition on (key, __seg__) so a hot
+    # key's history is spread across its time segments
+    assert "__seg__" in plan
+    assert "BroadcastNestedLoop" not in plan
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=["key"], left_ts="ts",
+                  value_cols=["v"], segment_width=0.0)
+
+
 def test_interval_join_matches_naive_pairs(spark):
     ev = spark.createDataFrame(
         [
