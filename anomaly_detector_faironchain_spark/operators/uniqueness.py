@@ -185,3 +185,75 @@ def check_unique(
         )
     )
     return verdict, dups
+
+
+def functional_dependency_groups(
+    df: DataFrame, spec: TableSpec, fd
+) -> DataFrame:
+    """ONE full scan supporting every downstream FD artifact: candidate
+    (determinant…, partition_id, dependent-value) groups with row counts,
+    restricted to keys whose 64-bit key-hash maps to more than one
+    64-bit value-hash.
+
+    Hash-compacted like ``exact_duplicates``: the wide screen shuffles
+    two xxhash64 values per row (map-side combined), not the key/value
+    strings; only keys whose HASH is multi-valued (true violations +
+    rare collisions) have their real columns re-grouped, so verdicts
+    built on this frame are exact — a collision can only add a few rows
+    to the verification shuffle, never a wrong verdict. Clean data
+    dominates at 10^12 rows, so the candidate set (and this output,
+    one row per (violating key, partition, value)) stays tiny.
+
+    Rows with a null determinant column are skipped; null dependent
+    values are ignored (see FunctionalDependency docstring).
+    """
+    part = partition_expr(spec).alias("partition_id")
+    det = [F.col(c) for c in fd.determinant]
+    nn = df
+    for c in fd.determinant:
+        nn = nn.filter(F.col(c).isNotNull())
+    nn = nn.filter(F.col(fd.dependent).isNotNull())
+    hashed = nn.select(
+        part,
+        F.xxhash64(*det).alias("__hk__"),
+        F.xxhash64(F.col(fd.dependent)).alias("__hv__"),
+        *det,
+        F.col(fd.dependent),
+    )
+    hot = (
+        hashed.groupBy("__hk__")
+        .agg(F.count_distinct("__hv__").alias("__nv__"))
+        .filter(F.col("__nv__") > 1)
+        .select("__hk__")
+    )
+    cand = hashed.join(hot, "__hk__", "left_semi")
+    return cand.groupBy(*fd.determinant, "partition_id", fd.dependent).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def check_functional_dependency(
+    groups: DataFrame, fd
+) -> tuple[DataFrame, DataFrame]:
+    """Derive (violating_keys, violating_groups) from the persisted
+    ``functional_dependency_groups`` frame — NO further input scans.
+
+    violating_keys: (determinant…, n_values, n_rows) for keys with >1
+    distinct dependent value (exact: regrouped on real columns, so hash
+    collisions from the screen drop out here).
+    violating_groups: the per-(key, partition, value) rows of those
+    keys — the source for per-partition verdict counts and sampled
+    violation payloads.
+    """
+    keys = (
+        groups.groupBy(*fd.determinant)
+        .agg(
+            F.count_distinct(fd.dependent).alias("n_values"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .filter(F.col("n_values") > 1)
+    )
+    viol_groups = groups.join(
+        F.broadcast(keys.select(*fd.determinant)), list(fd.determinant), "left_semi"
+    )
+    return keys, viol_groups

@@ -4,6 +4,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     Constraint,
     Drift,
     ForeignKey,
+    FunctionalDependency,
     InRange,
     InSet,
     LengthInRange,
@@ -19,6 +20,7 @@ __all__ = [
     "Constraint",
     "Drift",
     "ForeignKey",
+    "FunctionalDependency",
     "InRange",
     "InSet",
     "LengthInRange",

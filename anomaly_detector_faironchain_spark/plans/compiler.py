@@ -27,6 +27,7 @@ from anomaly_detector_faironchain_spark.operators import referential, stats, uni
 from anomaly_detector_faironchain_spark.plans.spec import (
     Drift,
     ForeignKey,
+    FunctionalDependency,
     TableSpec,
     Unique,
 )
@@ -319,6 +320,17 @@ def validate_table(
             cached_frames.append(fk_sample)
         fk_items.append((fk, fk_counts, fk_sample))
 
+    fd_items: list[tuple] = []
+    for fdc in spec.by_type(FunctionalDependency):
+        # one full scan → tiny (violating key, partition, value) groups;
+        # persisted so the verdict counts and the sampled payloads both
+        # read from cache (pass 2b below)
+        fd_groups = uniqueness.functional_dependency_groups(
+            df, spec, fdc
+        ).persist()
+        cached_frames.append(fd_groups)
+        fd_items.append((fdc, fd_groups))
+
     drift_items: list[tuple] = []
     for d in spec.by_type(Drift):
         if d.col not in drift_refs:
@@ -400,6 +412,50 @@ def validate_table(
                     F.to_json(F.struct(*[F.col(c) for c in fk.cols])).alias(
                         "row_payload"
                     ),
+                )
+            )
+
+    # Pass 2b: functional dependencies — verdicts and payloads both
+    # derive from the one warmed groups frame (zero extra input scans).
+    for fdc, fd_groups in fd_items:
+        fd_keys, fd_viol_groups = uniqueness.check_functional_dependency(
+            fd_groups, fdc
+        )
+        fd_counts = fd_viol_groups.groupBy("partition_id").agg(
+            F.sum("n_rows").alias("__n__")
+        )
+        verdict_parts.append(
+            all_parts.join(fd_counts, "partition_id", "left")
+            .select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(fdc.check_id()).alias("check_id"),
+                (F.coalesce(F.col("__n__"), F.lit(0)) == 0).alias("passed"),
+                F.coalesce(F.col("__n__"), F.lit(0))
+                .cast("double")
+                .alias("metric"),
+                F.lit(0.0).alias("threshold"),
+                F.coalesce(F.col("__n__"), F.lit(0)).alias("n_violations"),
+                F.lit(fdc.description()).alias("description"),
+            )
+        )
+        if materialize_violations:
+            sample = fd_viol_groups
+            if violation_limit_per_check:
+                sample = sample.limit(violation_limit_per_check)
+            violation_parts.append(
+                sample.select(
+                    F.lit(spec.name).alias("table"),
+                    "partition_id",
+                    F.lit(fdc.check_id()).alias("check_id"),
+                    F.lit(fdc.description()).alias("description"),
+                    F.to_json(
+                        F.struct(
+                            *[F.col(c) for c in fdc.determinant],
+                            F.col(fdc.dependent),
+                            F.col("n_rows"),
+                        )
+                    ).alias("row_payload"),
                 )
             )
 

@@ -109,6 +109,37 @@ class ForeignKey(Constraint):
 
 
 @dataclass(frozen=True)
+class FunctionalDependency(Constraint):
+    """Determinant columns must map to exactly ONE dependent value
+    (A → B): e.g. a commit hash belongs to exactly one repo. The
+    referential complement of ForeignKey — FK proves the key EXISTS in
+    the dimension, FD proves the in-table mapping is single-valued
+    (reference: etl/test.py:86-97 asserts membership; the one-repo-per-
+    commit property it implicitly relied on is this check).
+
+    Null handling: rows with any null determinant column are skipped
+    (NotNull's job); null dependent values are ignored when counting
+    distinct values (a key mapping to {x, NULL} passes — pair with
+    NotNull(dependent) to forbid that)."""
+
+    determinant: tuple[str, ...]
+    dependent: str
+
+    def __init__(self, *determinant: str, dependent: str):
+        object.__setattr__(self, "determinant", tuple(determinant))
+        object.__setattr__(self, "dependent", dependent)
+
+    def check_id(self) -> str:
+        return f"fd({','.join(self.determinant)}->{self.dependent})"
+
+    def description(self) -> str:
+        return (
+            f"{list(self.determinant)} must determine a single "
+            f"{self.dependent} value"
+        )
+
+
+@dataclass(frozen=True)
 class Regex(Constraint):
     """Non-null values must fully match the pattern (reference:
     etl/preprocess/preprocess_native_transfer.py:50-91 format validators,

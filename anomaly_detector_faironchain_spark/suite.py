@@ -871,6 +871,42 @@ ORACLES.update({"key_skew": ORACLE_KEY_SKEW})
 
 
 # ---------------------------------------------------------------------------
+# Functional dependency (A→B single-valued mapping; the north rule's
+# commit→repo shape). l_orderkey→l_returnflag genuinely fails on TPC-H
+# lineitem, so real violating keys materialize for the oracle compare.
+# ---------------------------------------------------------------------------
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detector_faironchain_spark.plans.spec import (
+        FunctionalDependency,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    spec = TableSpec(name="lineitem", constraints=(), partition_col=None)
+    fd = FunctionalDependency("l_orderkey", dependent="l_returnflag")
+    groups = uniqueness.functional_dependency_groups(li, spec, fd)
+    keys, _ = uniqueness.check_functional_dependency(groups, fd)
+    return keys.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("n_values").cast("long").alias("n_values"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+ORACLE_FD_VIOLATIONS = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_values,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+GROUP BY 1 HAVING COUNT(DISTINCT l_returnflag) > 1
+"""
+
+QUERIES.update({"fd_violations": q_fd_violations})
+ORACLES.update({"fd_violations": ORACLE_FD_VIOLATIONS})
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing registry order.
 #
 # The correctness driver checks the FIRST 50 entries of queries() in dict
@@ -902,6 +938,7 @@ _DRIVER_PRIORITY = [
     "lsh_buckets", "lsh_ann_topk",  # Arrow matmul bucketing (new default)
     "embedding_cosine_neardup", "embedding_cosine_neardup_2t",
     "char_entropy",                # empty/NULL-text guard
+    "fd_violations",               # new FunctionalDependency constraint
     "dedup_keepers",               # left-join + nulls-last retention
     "domain_quota",                # two-phase top-k cap_per_group
     # -- north-rule validation core (keep inside the cap every round) ------

@@ -186,3 +186,65 @@ def test_eager_warm_off_matches_on(spark, corrupted):
                for r in off.verdicts.collect())
     assert a == b
     on.unpersist(); off.unpersist()
+
+
+def test_functional_dependency_detects_multi_valued_keys(spark):
+    from anomaly_detector_faironchain_spark.plans import FunctionalDependency
+
+    df = spark.createDataFrame(
+        [
+            # commit c1 maps to two repos -> FD violation (4 rows)
+            ("r1", "c1", "p0", "en"),
+            ("r1", "c1", "p1", "en"),
+            ("r2", "c1", "p2", "en"),
+            ("r2", "c1", "p3", "en"),
+            # commit c2 clean (single repo, many rows)
+            ("r1", "c2", "p4", "en"),
+            ("r1", "c2", "p5", "de"),
+            # null determinant / null dependent are skipped
+            ("r3", None, "p6", "en"),
+            (None, "c3", "p7", "en"),
+            # c4 maps to {r4, NULL} -> passes (null dependent ignored)
+            ("r4", "c4", "p8", "en"),
+            (None, "c4", "p9", "en"),
+        ],
+        "repo string, commit string, path string, lang string",
+    )
+    tspec = TableSpec(
+        name="t",
+        partition_col="lang",
+        constraints=(FunctionalDependency("commit", dependent="repo"),),
+    )
+    res = validate_table(df, tspec)
+    verdicts = {
+        r["partition_id"]: (r["passed"], r["n_violations"])
+        for r in res.verdicts.collect()
+    }
+    # all four c1 rows are in partition lang=en
+    assert verdicts["en"] == (False, 4)
+    assert verdicts["de"] == (True, 0)
+    payloads = [
+        json.loads(r["row_payload"]) for r in res.violations.collect()
+    ]
+    assert all(p["commit"] == "c1" for p in payloads)
+    assert {p["repo"] for p in payloads} == {"r1", "r2"}
+    assert not res.passed()
+    res.unpersist()
+
+
+def test_functional_dependency_clean_passes(spark):
+    from anomaly_detector_faironchain_spark.plans import FunctionalDependency
+
+    df = spark.createDataFrame(
+        [("r%d" % (i % 5), "c%d" % i, float(i)) for i in range(100)],
+        "repo string, commit string, v double",
+    )
+    tspec = TableSpec(
+        name="t",
+        partition_col=None,
+        constraints=(FunctionalDependency("commit", dependent="repo"),),
+    )
+    res = validate_table(df, tspec)
+    assert res.passed()
+    assert res.violations.count() == 0
+    res.unpersist()
