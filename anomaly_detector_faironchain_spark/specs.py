@@ -12,6 +12,7 @@ from __future__ import annotations
 from anomaly_detector_faironchain_spark.datagen import source_files as gen
 from anomaly_detector_faironchain_spark.plans.spec import (
     ForeignKey,
+    FunctionalDependency,
     InSet,
     LengthInRange,
     NotNull,
@@ -36,6 +37,9 @@ def north_rule_spec(partition_col: str = "bucket") -> TableSpec:
             InSet("lang", gen.LANGS),
             LengthInRange("content", 1, 1 << 20),
             ForeignKey(("repo",), "repos", ("repo",)),
+            # north_star's commit->repo referential shape: a commit hash
+            # must belong to exactly one repo (single-valued mapping)
+            FunctionalDependency("commit", dependent="repo"),
             RowCheck(
                 "sha_invariant",
                 "sha2(content, 256) = content_sha256",
