@@ -179,10 +179,11 @@ def features_from_edges(
         .withColumnRenamed("triangle_amount", "triangle_loop_amount")
         .withColumnRenamed("triangle_tx", "triangle_loop_tx_count")
     )
-    # "auto": edges are cached + warmed by the time this runs, so the
-    # one-job routing decision reads the measured intermediate sizes for
-    # pennies and avoids the ~27% routing premium on non-skewed months
-    ego = graph.egonet_features(edges, route_by_degree="auto").select(
+    # wedge m-count: 2.3-2.7x faster than the routed expansion on the
+    # bench corpora (tools/ego_ab.py, identical outputs) and needs no
+    # routing-decision job; the infra whitelist already removes the
+    # mega-hubs that would stress the id-order wedge pivot
+    ego = graph.egonet_features(edges, method="wedge").select(
         "node", F.col("ego_density").alias("egonet_density")
     )
     loops = graph.self_loop_flag(edges)

@@ -207,32 +207,135 @@ def _egonet_route_choice(er: DataFrame, auto_ratio: float) -> bool:
     return plain > auto_ratio * max(routed, 1)
 
 
+def _egonet_m_wedge(
+    e: DataFrame, broadcast_degrees: bool = True, orientation: str = "id"
+) -> DataFrame:
+    """Wedge/triangle formulation of the egonet m-count; returns (v, m).
+
+    Decomposition: a directed non-self edge row (a→b) lies inside ego(v)
+    iff (1) v ∈ {a, b} — every edge row is incident to exactly two egos —
+    or (2) {v,a,b} is a triangle of the undirected simple graph. So
+
+        m(v) = incident_rows(v) + Σ_{triangles {v,b,c}} w(b, c)
+
+    where w(x, y) = number of directed edge rows between x and y (1 or 2
+    on an aggregated edgelist; row multiplicity in general). The triangle
+    sum enumerates each undirected triangle ONCE, pivoting wedges on the
+    order-minimal vertex exactly like triangle_features, and credits all
+    three corners with the directed multiplicity of their OPPOSITE pair.
+
+    Cost: Σ_a C(d₊(a), 2) wedge rows (d₊ = neighbors above a in id
+    order) + one equi-join on the (b, c) pair key — versus the expand
+    path's Σ_edges min(deg) rows through two ego-table joins. On the
+    2M-edge / deg≈200 bench corpus the wedge set (~100M) is ~4× smaller
+    than the routed expansion (~383M) AND skips the 4M-row ego build
+    side, so this is the scale path for dense neighborhoods; a graph
+    whose triangles vastly outnumber min-degree expansions (rare) would
+    prefer expand."""
+    pairs = (
+        e.select(F.least("src", "dst").alias("lo"),
+                 F.greatest("src", "dst").alias("hi"))
+        .groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("w"))
+    )
+    # incident term: each directed row belongs to both endpoint egos
+    inc = (
+        e.select(F.col("src").alias("v")).unionAll(e.select(F.col("dst")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("__inc__"))
+    )
+    if orientation == "degree":
+        # node-iterator-core: pivot on the order-min vertex of the
+        # (undirected degree, id) total order, so a mega-hub sits above
+        # ~all neighbors and generates ~no wedges (O(m^1.5) wedge bound)
+        # regardless of its position in the id order — same guarantee,
+        # same cost shape, as triangle_features(orientation="degree").
+        # The wedge filter AND the closing-pair key must use the SAME
+        # order, so the hi endpoint's ord struct rides along as ord_hi.
+        deg = (
+            pairs.select(F.col("lo").alias("v"))
+            .unionAll(pairs.select(F.col("hi")))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("__deg__"))
+        )
+        if broadcast_degrees:
+            deg = F.broadcast(deg)
+        ranked = (
+            pairs.join(deg.withColumnRenamed("v", "lo")
+                          .withColumnRenamed("__deg__", "__dlo__"), "lo")
+            .join(deg.withColumnRenamed("v", "hi")
+                     .withColumnRenamed("__deg__", "__dhi__"), "hi")
+        )
+        olo = F.struct(F.col("__dlo__").alias("d"), F.col("lo").alias("i"))
+        ohi = F.struct(F.col("__dhi__").alias("d"), F.col("hi").alias("i"))
+        oriented = ranked.select(
+            F.when(olo < ohi, F.col("lo")).otherwise(F.col("hi")).alias("lo"),
+            F.when(olo < ohi, F.col("hi")).otherwise(F.col("lo")).alias("hi"),
+            F.when(olo < ohi, ohi).otherwise(olo).alias("ord_hi"),
+            "w",
+        )
+    elif orientation == "id":
+        oriented = pairs.select("lo", "hi", F.col("hi").alias("ord_hi"), "w")
+    else:
+        raise ValueError(f"unknown orientation: {orientation!r}")
+    p1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"),
+                         F.col("ord_hi").alias("ord_b"),
+                         F.col("w").alias("w_ab"))
+    p2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"),
+                         F.col("ord_hi").alias("ord_c"),
+                         F.col("w").alias("w_ac"))
+    p3 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"),
+                         F.col("w").alias("w_bc"))
+    # wedges on the order-minimal vertex a (ord_b < ord_c orients each
+    # wedge once, in the SAME order that keys the closing pair); the
+    # predicate evaluates inside the self-join, so only C(d₊,2) of the
+    # d₊² generated combinations reach the pair-key join
+    tri = (
+        p1.join(p2, "a").filter(F.col("ord_b") < F.col("ord_c"))
+        .join(p3, ["b", "c"])
+    )
+    credits = tri.select(F.explode(F.array(
+        F.struct(F.col("a").alias("v"), F.col("w_bc").alias("t")),
+        F.struct(F.col("b").alias("v"), F.col("w_ac").alias("t")),
+        F.struct(F.col("c").alias("v"), F.col("w_ab").alias("t")),
+    )).alias("s")).select("s.v", "s.t")
+    t_tbl = credits.groupBy("v").agg(F.sum("t").alias("__t__"))
+    return (
+        inc.join(t_tbl, "v", "left")
+        .select("v", (F.col("__inc__")
+                      + F.coalesce(F.col("__t__"), F.lit(0))).alias("m"))
+    )
+
+
 def egonet_features(
     edges: DataFrame, route_by_degree: bool | str = True,
     broadcast_degrees: bool = True, auto_ratio: float = 1.0,
+    method: str = "wedge", orientation: str = "id",
 ) -> DataFrame:
     """1-hop egonet size and density (reference
     extract_egonet_features.py:37-78): ego(v) = {v} ∪ undirected
     neighbors; n = |ego|; m = directed non-self edges within ego;
-    density = m / (n·(n−1)). Neighbor-pair join formulation.
+    density = m / (n·(n−1)).
 
-    The m count expands each directed edge (u→w) into the candidate egos
-    it might belong to — one row per ego containing one chosen endpoint —
-    then semi-filters on the other endpoint. Which endpoint to expand
-    through is free choice (the (v, edge) pair set is identical), so with
-    route_by_degree=True each edge expands through its SMALLER-degree
-    endpoint: the intermediate drops from Σ_edges deg(w) ≈ Σ deg² to
-    Σ_edges min(deg(u), deg(w)) — for a hub-and-spoke graph that is the
-    difference between deg² rows from every hub edge and deg rows total.
-    Degrees attach via a broadcast of the node-cardinality degree table
-    (broadcast_degrees=False falls back to a shuffle join).
-
-    route_by_degree="auto" measures BOTH intermediate sizes exactly from
-    the degree table (one small aggregation job — callers needing
-    zero-job plan construction should pass True/False) and routes unless
-    the reduction factor is ≤ ``auto_ratio`` (default 1.0: route whenever
-    it shrinks the expansion at all; see _egonet_route_choice for the
-    measured evidence)."""
+    Two m-count formulations, identical outputs (pytest-asserted):
+      * method="wedge" (default) — triangle decomposition (see
+        _egonet_m_wedge): m(v) = incident rows + per-triangle
+        opposite-pair multiplicity credits; Σ_a C(d₊(a),2) wedge rows
+        instead of Σ_edges min(deg) expansions (generically ~4× fewer:
+        each wedge is counted once at its order-min pivot, each
+        expansion once per edge). Interleaved A/B (tools/ego_ab.py,
+        identical outputs all arms): 2M-edge bench corpus 34.1 s vs
+        93.3 s routed-expand / 78.3 s via-dst; hub-skew corpus 4.7 s vs
+        11.3 s / 32.8 s. orientation="degree" pins the O(m^1.5) wedge
+        bound for a mega-hub sitting LOW in the id order (hub whitelist
+        is the pipeline's first-line mitigation, as in the reference);
+        route_by_degree/auto_ratio are ignored.
+      * method="expand" — neighbor-pair join: expand each directed edge
+        (u→w) into the candidate egos containing one chosen endpoint,
+        then semi-filter on the other. route_by_degree=True expands each
+        edge through its SMALLER-degree endpoint (Σ min(deg) rows instead
+        of Σ deg); "auto" measures both sizes from the degree table (one
+        tiny job) and routes unless reduction ≤ auto_ratio (default 1.0).
+        Kept as the A/B control and for graphs whose triangle credits
+        vastly outnumber min-degree expansions.
+    """
     e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
     und = e.select("src", "dst").union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -246,6 +349,23 @@ def egonet_features(
         nodes.select("v", F.col("v").alias("member"))
     )
     n_tbl = ego.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    if method == "wedge":
+        m_tbl = _egonet_m_wedge(e, broadcast_degrees, orientation)
+        return (
+            n_tbl.join(m_tbl, n_tbl["v"] == m_tbl["v"], "left")
+            .select(
+                n_tbl["v"].alias("node"),
+                F.col("n").cast("long").alias("ego_n"),
+                F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("ego_m"),
+                F.when(
+                    F.col("n") > 1,
+                    F.coalesce(F.col("m"), F.lit(0))
+                    / (F.col("n") * (F.col("n") - 1)),
+                ).otherwise(F.lit(0.0)).alias("ego_density"),
+            )
+        )
+    if method != "expand":
+        raise ValueError(f"unknown egonet method: {method!r}")
     # m: every directed edge (a→b), a≠b, with both endpoints in ego(v)
     ea = ego.select("v", F.col("member").alias("a"))
     eb = ego.select("v", F.col("member").alias("b"))

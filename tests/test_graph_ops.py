@@ -120,16 +120,45 @@ def test_egonet_routes_agree_on_hub_graph(spark):
     df = spark.createDataFrame(rows, "src string, dst string, amount double, ts long")
     e = graph.aggregate_edges(df, "src", "dst", "amount", "ts")
     a = {r.node: (r.ego_n, r.ego_m, r.ego_density)
-         for r in graph.egonet_features(e, route_by_degree=False).collect()}
+         for r in graph.egonet_features(e, method="expand", route_by_degree=False).collect()}
     b = {r.node: (r.ego_n, r.ego_m, r.ego_density)
-         for r in graph.egonet_features(e, route_by_degree=True).collect()}
+         for r in graph.egonet_features(e, method="expand", route_by_degree=True).collect()}
     assert a == b
     c = {r.node: (r.ego_n, r.ego_m, r.ego_density)
-         for r in graph.egonet_features(e, route_by_degree="auto").collect()}
+         for r in graph.egonet_features(e, method="expand", route_by_degree="auto").collect()}
     assert a == c
+    w = {r.node: (r.ego_n, r.ego_m, r.ego_density)
+         for r in graph.egonet_features(e, method="wedge").collect()}
+    assert a == w
     # hand check: ego(s0) = {s0, hub, s1, s2}; edges within: hub->s0/s1/s2,
     # s0/s1/s2->hub, s0->s1, s1->s2, s2->s0 = 9
     assert a["s0"][0] == 4 and a["s0"][1] == 9
+
+
+def test_egonet_wedge_matches_expand_on_random_multigraph(spark):
+    """The triangle-decomposition m-count (incident rows + per-triangle
+    opposite-pair multiplicity credits) must equal the expansion count on
+    a random MULTIgraph with self-loops, duplicate rows, and a node whose
+    only edge is a self-loop (ego size 1, m 0)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}", 1.0, i)
+            for i in range(500)]
+    rows += [("n0", "n0", 1.0, 900), ("lonely", "lonely", 1.0, 901)]
+    rows += rows[:40]  # duplicate rows: w(pair) multiplicity > 2
+    df = spark.createDataFrame(
+        rows, "src string, dst string, amount double, ts long")
+    a = {r.node: (r.ego_n, r.ego_m, round(r.ego_density, 9))
+         for r in graph.egonet_features(df, method="expand", route_by_degree=True).collect()}
+    w = {r.node: (r.ego_n, r.ego_m, round(r.ego_density, 9))
+         for r in graph.egonet_features(df, method="wedge").collect()}
+    assert a == w
+    wd = {r.node: (r.ego_n, r.ego_m, round(r.ego_density, 9))
+          for r in graph.egonet_features(
+              df, method="wedge", orientation="degree").collect()}
+    assert a == wd
+    assert a["lonely"] == (1, 0, 0.0)
 
 
 def test_egonet_auto_routing_decision(spark):

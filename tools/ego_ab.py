@@ -23,8 +23,9 @@ from anomaly_detector_faironchain_spark.session import get_spark  # noqa: E402
 from tri_ab import FIXTURE, skewed_edges  # noqa: E402
 
 ARMS = {
-    "via_dst": lambda e: graph.egonet_features(e, route_by_degree=False),
-    "min_degree_route": lambda e: graph.egonet_features(e, route_by_degree=True),
+    "via_dst": lambda e: graph.egonet_features(e, method="expand", route_by_degree=False),
+    "min_degree_route": lambda e: graph.egonet_features(e, method="expand", route_by_degree=True),
+    "wedge": lambda e: graph.egonet_features(e, method="wedge"),
 }
 
 
