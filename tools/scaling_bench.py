@@ -105,7 +105,18 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench  # CPU canary + calibrated ceiling live in bench.py
 
-    canaries = [bench.cpu_canary(32)]
+    # Host ceiling: the same pure-Python burn at 8 vs 32 procs. On this
+    # oversubscribed single-socket VM even a zero-IPC embarrassingly-
+    # parallel burn does NOT scale 4x from 8 to 32 procs (measured
+    # ~3.0-3.1x, i.e. ~0.76 efficiency) — per-core throughput drops when
+    # all 32 vCPUs are busy (host steal / frequency). A real N->4N
+    # EXECUTOR scale-out adds whole nodes, each with its own cores and
+    # memory bus, so the honest single-box evidence is Spark efficiency
+    # relative to this measured host ceiling.
+    host8 = bench.cpu_canary(8)
+    host32 = bench.cpu_canary(32)
+    host_ceiling = round((host32 / host8) / 4.0, 3)
+    canaries = [host32]
     reps = int(os.environ.get("SCALE_REPS", "1"))
     runs8, runs32 = [], []
     for _ in range(reps):
@@ -123,6 +134,10 @@ def main() -> None:
         "profile": PROFILE, "local8": r8, "local32": r32,
         "all_runs": {"local8": runs8, "local32": runs32},
         "scaling_efficiency": round(eff, 3),
+        "host_cpu_canary_8": host8,
+        "host_cpu_canary_32": host32,
+        "host_cpu_scaling_ceiling": host_ceiling,
+        "efficiency_vs_host_ceiling": round(eff / host_ceiling, 3),
         "target": 0.8,
         "meets_target": eff >= 0.8,
         "canary_mips": canaries,
