@@ -114,3 +114,65 @@ def ks(cur: DataFrame, ref: DataFrame, by_group: bool = False) -> DataFrame:
     if keys:
         return cdf.groupBy(*keys).agg(F.max("cdf_diff").alias("ks"))
     return cdf.agg(F.max("cdf_diff").alias("ks"))
+
+
+def benford_mad(
+    df: DataFrame,
+    col: str,
+    scale: int = 6,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Benford first-digit conformity per partition: (partition_id,
+    mad double, n long) — mad is Nigrini's mean-absolute-deviation
+    statistic over digits 1..9, n the number of rows carrying a first
+    significant digit.
+
+    Digit extraction is positional string parsing, not float log10: the
+    value is cast through decimal(38, scale) — try_cast, so magnitudes
+    beyond 10^(38-scale) become null and are skipped rather than aborting
+    under ANSI mode — and the first [1-9] char of the decimal rendering
+    is the digit. Exact for decimals; identical in any ANSI-SQL oracle
+    (no scientific-notation or log-of-power-of-ten edge cases). Zeros and
+    nulls have no first digit and are skipped.
+
+    One map-side-combined groupBy to <= 9 rows per partition; digits
+    absent from a partition enter the MAD as |0 - log10(1+1/d)| via a
+    broadcast 9-row grid. Nothing downstream of the first agg scales
+    with input size.
+    """
+    part = (
+        F.coalesce(F.col(partition_col).cast("string"), F.lit("__null__"))
+        if partition_col
+        else F.lit("__whole_table__")
+    )
+    digit = F.regexp_extract(
+        F.expr(f"try_cast(abs({col}) as decimal(38,{scale}))").cast("string"),
+        "[1-9]",
+        0,
+    )
+    counts = (
+        df.select(part.alias("partition_id"), digit.alias("d"))
+        .filter(F.col("d") != "")
+        .groupBy("partition_id", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(str(d), float(__import__("math").log10(1.0 + 1.0 / d)))
+         for d in range(1, 10)],
+        "d string, p_exp double",
+    )
+    totals = counts.groupBy("partition_id").agg(
+        F.sum("cnt").alias("__n__")
+    )
+    grid = totals.crossJoin(F.broadcast(expected))
+    obs = grid.join(counts, ["partition_id", "d"], "left").select(
+        "partition_id",
+        "__n__",
+        "p_exp",
+        (F.coalesce(F.col("cnt"), F.lit(0)) / F.col("__n__")).alias("p_obs"),
+    )
+    return obs.groupBy("partition_id").agg(
+        F.avg(F.abs(F.col("p_obs") - F.col("p_exp"))).alias("mad"),
+        F.first("__n__").alias("n"),
+    )

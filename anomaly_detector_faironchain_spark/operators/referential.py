@@ -83,3 +83,70 @@ def check_foreign_key(
         F.count(F.lit(1)).alias("n_violations")
     )
     return counts, viol
+
+
+def check_count_match(
+    fact: DataFrame,
+    group_cols: list[str],
+    ref: DataFrame,
+    ref_group_cols: list[str],
+    expected_col: str,
+    partition_id: F.Column | None = None,
+) -> DataFrame:
+    """Cross-table row-count reconciliation: per-group mismatch frame
+    (partition_id, *group_cols, actual long, expected long, diff long)
+    holding ONLY the groups whose fact row count differs from the
+    manifest's declared count. Full-outer semantics: a manifest group
+    with no fact rows (actual=0, partition_id='__missing__') and fact
+    rows with no manifest entry (expected=0) are both mismatches.
+
+    The completeness complement of the FK anti-join — FK proves each
+    row's key exists, this proves the dataset is WHOLE (no dropped or
+    double-loaded partition). Groups with a null key component are
+    skipped on both sides (NotNull covers those).
+
+    partition_id: expression evaluated on fact rows; each group reports
+    min(partition_id) — exact when groups are partition-local (repo
+    groups under repo-hash partitioning), a deterministic representative
+    otherwise.
+
+    Plan shape: ONE map-side-combined groupBy over the fact table (the
+    only pass that scales with input size), then a full-outer join of
+    two GROUP-cardinality frames — manifest-sized, not row-sized, so a
+    shuffle join is fine (Spark cannot broadcast a full-outer side).
+    """
+    nn = F.lit(True)
+    for c in group_cols:
+        nn = nn & F.col(c).isNotNull()
+    pid = partition_id if partition_id is not None else F.lit("__whole_table__")
+    actual = (
+        fact.filter(nn)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__actual__"),
+            F.min(pid).alias("__pid__"),
+        )
+    )
+    rnn = F.lit(True)
+    for c in ref_group_cols:
+        rnn = rnn & F.col(c).isNotNull()
+    declared = ref.filter(rnn).select(
+        *[F.col(r).alias(g) for g, r in zip(group_cols, ref_group_cols)],
+        F.col(expected_col).cast("long").alias("__expected__"),
+    )
+    j = actual.join(declared, on=list(group_cols), how="full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("__pid__"), F.lit("__missing__")).alias(
+                "partition_id"
+            ),
+            *[F.col(c) for c in group_cols],
+            F.coalesce(F.col("__actual__"), F.lit(0)).alias("actual"),
+            F.coalesce(F.col("__expected__"), F.lit(0)).alias("expected"),
+            (
+                F.coalesce(F.col("__actual__"), F.lit(0))
+                - F.coalesce(F.col("__expected__"), F.lit(0))
+            ).alias("diff"),
+        )
+        .filter(F.col("actual") != F.col("expected"))
+    )

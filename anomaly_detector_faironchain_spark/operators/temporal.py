@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "monotonic_violations"]
 
 
 def _epoch_seconds(col: F.Column, dtype: str) -> F.Column:
@@ -288,3 +288,57 @@ def interval_join(
         & (r_ts_col <= l_ts_col + F.lit(upper))
     )
     return joined.drop("__bucket__")
+
+
+def monotonic_violations(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+    partition_id: F.Column | None = None,
+) -> DataFrame:
+    """Rows violating per-key monotonicity: within each key, `value_col`
+    must be non-decreasing (strict=True: strictly increasing) as
+    `order_col` increases. A row violates iff the max value over rows of
+    the same key with a STRICTLY smaller order exceeds (>=, when strict)
+    its own value — expressed as a running max over a RANGE frame ending
+    at -1, so ties in `order_col` never compare against each other and
+    the result needs no tiebreaker to be deterministic.
+
+    Returns (partition_id, *key_cols, order_col, value_col, prev_max)
+    for the violating rows only. Rows with a null key component, null
+    order, or null value are skipped (NotNull covers those).
+
+    ONE keyed window pass: shuffle by key_cols, sort by order_col within
+    the key (Spark's window sort spills, so a large key is slow but
+    safe); a mega-key serializes in one task — the same hazard as any
+    partitionBy window, mitigated upstream (whitelist known mega-keys or
+    segment the order domain as segmented asof_join does). `order_col`
+    must be numeric or date (RANGE frame requirement).
+    """
+    nn = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    for k in key_cols:
+        nn = nn.filter(F.col(k).isNotNull())
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(order_col).asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(value_col).over(w)
+    pid = partition_id if partition_id is not None else F.lit("__whole_table__")
+    out = nn.select(
+        pid.alias("partition_id"),
+        *[F.col(k) for k in key_cols],
+        F.col(order_col),
+        F.col(value_col),
+        prev_max.alias("prev_max"),
+    )
+    bad = (
+        (F.col("prev_max") >= F.col(value_col))
+        if strict
+        else (F.col("prev_max") > F.col(value_col))
+    )
+    return out.filter(F.col("prev_max").isNotNull() & bad)

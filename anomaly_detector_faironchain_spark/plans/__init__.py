@@ -1,13 +1,16 @@
 """Declarative constraint specs and the plan compiler."""
 
 from anomaly_detector_faironchain_spark.plans.spec import (
+    Benford,
     Constraint,
+    CountMatch,
     Drift,
     ForeignKey,
     FunctionalDependency,
     InRange,
     InSet,
     LengthInRange,
+    MonotonicPerKey,
     NotNull,
     Regex,
     RowCheck,
@@ -17,13 +20,16 @@ from anomaly_detector_faironchain_spark.plans.spec import (
 )
 
 __all__ = [
+    "Benford",
     "Constraint",
+    "CountMatch",
     "Drift",
     "ForeignKey",
     "FunctionalDependency",
     "InRange",
     "InSet",
     "LengthInRange",
+    "MonotonicPerKey",
     "NotNull",
     "Regex",
     "RowCheck",

@@ -23,11 +23,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from anomaly_detector_faironchain_spark.operators import drift as drift_ops
-from anomaly_detector_faironchain_spark.operators import referential, stats, uniqueness
+from anomaly_detector_faironchain_spark.operators import referential, stats, temporal, uniqueness
 from anomaly_detector_faironchain_spark.plans.spec import (
+    Benford,
+    CountMatch,
     Drift,
     ForeignKey,
     FunctionalDependency,
+    MonotonicPerKey,
     TableSpec,
     Unique,
 )
@@ -331,6 +334,50 @@ def validate_table(
         cached_frames.append(fd_groups)
         fd_items.append((fdc, fd_groups))
 
+    # Cross-table count reconciliation: one map-side-combined groupBy over
+    # the fact table + a group-cardinality full-outer join vs the
+    # manifest; the mismatch frame is tiny (clean data dominates) and is
+    # persisted so verdict counts and sampled payloads share one scan.
+    cm_items: list[tuple] = []
+    for cm in spec.by_type(CountMatch):
+        if cm.ref_table not in refs:
+            raise ValueError(f"missing ref table DataFrame: {cm.ref_table}")
+        cm_groups = referential.check_count_match(
+            df,
+            list(cm.group_cols),
+            refs[cm.ref_table],
+            list(cm.ref_group_cols),
+            cm.expected_col,
+            partition_id=stats.partition_expr(spec),
+        ).persist()
+        cached_frames.append(cm_groups)
+        cm_items.append((cm, cm_groups))
+
+    # Per-key monotonicity: one keyed-window pass; only the violating
+    # rows survive, persisted for verdict counts + sampled payloads.
+    mono_items: list[tuple] = []
+    for mc in spec.by_type(MonotonicPerKey):
+        mono_viol = temporal.monotonic_violations(
+            df,
+            list(mc.key_cols),
+            mc.order_col,
+            mc.value_col,
+            strict=mc.strict,
+            partition_id=stats.partition_expr(spec),
+        ).persist()
+        cached_frames.append(mono_viol)
+        mono_items.append((mc, mono_viol))
+
+    # Benford first-digit conformity: one map-side agg to <= 9 rows per
+    # partition; the MAD frame is one row per partition.
+    bf_items: list[tuple] = []
+    for bf in spec.by_type(Benford):
+        bf_mad = drift_ops.benford_mad(
+            df, bf.col, bf.scale, spec.partition_col
+        ).persist()
+        cached_frames.append(bf_mad)
+        bf_items.append((bf, bf_mad))
+
     drift_items: list[tuple] = []
     for d in spec.by_type(Drift):
         if d.col not in drift_refs:
@@ -458,6 +505,116 @@ def validate_table(
                     ).alias("row_payload"),
                 )
             )
+
+    # Pass 3b: count reconciliation — verdicts and payloads both derive
+    # from the one warmed mismatch frame. The verdict grid is a FULL
+    # outer join of the profile's partitions with the mismatch counts:
+    # manifest-only groups live in the synthetic '__missing__' partition,
+    # which the profile cannot know about.
+    for cm, cm_groups in cm_items:
+        cm_counts = cm_groups.groupBy("partition_id").agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.sum(F.abs(F.col("diff"))).alias("__rows_off__"),
+        )
+        verdict_parts.append(
+            all_parts.join(cm_counts, "partition_id", "full_outer")
+            .select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(cm.check_id()).alias("check_id"),
+                (F.coalesce(F.col("__n__"), F.lit(0)) == 0).alias("passed"),
+                F.coalesce(F.col("__rows_off__"), F.lit(0))
+                .cast("double")
+                .alias("metric"),
+                F.lit(0.0).alias("threshold"),
+                F.coalesce(F.col("__n__"), F.lit(0)).alias("n_violations"),
+                F.lit(cm.description()).alias("description"),
+            )
+        )
+        if materialize_violations:
+            sample = cm_groups
+            if violation_limit_per_check:
+                sample = sample.limit(violation_limit_per_check)
+            violation_parts.append(
+                sample.select(
+                    F.lit(spec.name).alias("table"),
+                    "partition_id",
+                    F.lit(cm.check_id()).alias("check_id"),
+                    F.lit(cm.description()).alias("description"),
+                    F.to_json(
+                        F.struct(
+                            *[F.col(c) for c in cm.group_cols],
+                            F.col("actual"),
+                            F.col("expected"),
+                            F.col("diff"),
+                        )
+                    ).alias("row_payload"),
+                )
+            )
+
+    # Pass 2c: per-key monotonicity — verdict counts + sampled payloads
+    # from the one warmed violating-rows frame.
+    for mc, mono_viol in mono_items:
+        mono_counts = mono_viol.groupBy("partition_id").agg(
+            F.count(F.lit(1)).alias("__n__")
+        )
+        verdict_parts.append(
+            all_parts.join(mono_counts, "partition_id", "left")
+            .select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(mc.check_id()).alias("check_id"),
+                (F.coalesce(F.col("__n__"), F.lit(0)) == 0).alias("passed"),
+                F.coalesce(F.col("__n__"), F.lit(0))
+                .cast("double")
+                .alias("metric"),
+                F.lit(0.0).alias("threshold"),
+                F.coalesce(F.col("__n__"), F.lit(0)).alias("n_violations"),
+                F.lit(mc.description()).alias("description"),
+            )
+        )
+        if materialize_violations:
+            sample = mono_viol
+            if violation_limit_per_check:
+                sample = sample.limit(violation_limit_per_check)
+            violation_parts.append(
+                sample.select(
+                    F.lit(spec.name).alias("table"),
+                    "partition_id",
+                    F.lit(mc.check_id()).alias("check_id"),
+                    F.lit(mc.description()).alias("description"),
+                    F.to_json(
+                        F.struct(
+                            *[F.col(c) for c in mc.key_cols],
+                            F.col(mc.order_col),
+                            F.col(mc.value_col),
+                            F.col("prev_max"),
+                        )
+                    ).alias("row_payload"),
+                )
+            )
+
+    # Pass 4b: Benford conformity — distribution-level verdict per
+    # partition from the warmed one-row-per-partition MAD frame. A
+    # partition with no digit-bearing rows passes vacuously.
+    for bf, bf_mad in bf_items:
+        verdict_parts.append(
+            all_parts.join(bf_mad, "partition_id", "left")
+            .select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(bf.check_id()).alias("check_id"),
+                F.coalesce(
+                    F.col("mad") <= F.lit(float(bf.threshold)), F.lit(True)
+                ).alias("passed"),
+                F.coalesce(F.col("mad"), F.lit(0.0))
+                .cast("double")
+                .alias("metric"),
+                F.lit(float(bf.threshold)).alias("threshold"),
+                F.lit(0).cast("long").alias("n_violations"),
+                F.lit(bf.description()).alias("description"),
+            )
+        )
 
     # Pass 4: drift per column, per partition, vs reference histograms
     # (histograms declared + warmed above).

@@ -284,6 +284,152 @@ class Drift(Constraint):
 
 
 @dataclass(frozen=True)
+class MonotonicPerKey(Constraint):
+    """Within each key group, `value_col` ordered by `order_col` must be
+    non-decreasing (strict=True: strictly increasing). A row violates iff
+    some row of the same key with a STRICTLY smaller order value has a
+    larger (>=, when strict) value — i.e. the running max over earlier
+    order values exceeds this row's value. Ties in `order_col` are
+    unordered among themselves by design (RANGE frame), so the check is
+    deterministic without a tiebreaker.
+
+    Generalizes the reference's implicit append-order assumptions (daily
+    files concatenated in sorted(os.listdir) order,
+    etl/run_preprocessing.py:27-44) into an explicit, certifiable check —
+    e.g. commit timestamps non-decreasing within a repo, block numbers
+    increasing within a chain.
+
+    Scale shape: one keyed window pass (shuffle by key_cols). A mega-key
+    funnels through one task — same single-task hazard as any
+    partitionBy window; mitigate upstream by whitelisting known mega-keys
+    or pre-bucketing the order domain (operators/temporal.py documents
+    the identical trade-off for as-of joins). `order_col` must be
+    numeric/date for the RANGE frame.
+
+    Null handling: rows with a null key component, null order, or null
+    value are skipped (NotNull is the constraint for those).
+    """
+
+    key_cols: tuple[str, ...]
+    order_col: str = ""
+    value_col: str = ""
+    strict: bool = False
+
+    def __init__(self, *key_cols: str, order_col: str, value_col: str,
+                 strict: bool = False):
+        object.__setattr__(self, "key_cols", tuple(key_cols))
+        object.__setattr__(self, "order_col", order_col)
+        object.__setattr__(self, "value_col", value_col)
+        object.__setattr__(self, "strict", strict)
+
+    def check_id(self) -> str:
+        op = "increasing" if self.strict else "non_decreasing"
+        return (
+            f"monotonic_{op}({self.value_col} by {self.order_col} "
+            f"per {','.join(self.key_cols)})"
+        )
+
+    def description(self) -> str:
+        op = "strictly increase" if self.strict else "be non-decreasing"
+        return (
+            f"{self.value_col} must {op} in {self.order_col} order "
+            f"within each {list(self.key_cols)}"
+        )
+
+
+@dataclass(frozen=True)
+class CountMatch(Constraint):
+    """Cross-table row-count reconciliation: the row count per
+    `group_cols` in THIS table must equal the declared count in
+    `ref_table` (`ref_group_cols` → `expected_col`). Full-outer
+    semantics: a group present in the manifest with no rows, or rows
+    with no manifest entry, are violations too (expected/actual treated
+    as 0 on the missing side).
+
+    The completeness complement of ForeignKey: FK proves each row's key
+    EXISTS in the dimension; CountMatch proves the dataset is WHOLE — no
+    partition was dropped or double-loaded (the classic 10^12-file
+    ingestion failure a per-row check cannot see).
+
+    Verdict attribution: each group's mismatch is attributed to the
+    partition its rows live in (min partition_id over the group — exact
+    when groups are partition-local, as with repo groups under repo-hash
+    partitioning); manifest-only groups (no rows anywhere) land in the
+    dedicated '__missing__' partition row.
+
+    Scale shape: one map-side-combined groupBy over the fact table plus
+    one join against the (dimension-sized) manifest — broadcast when it
+    fits, shuffle otherwise (same knob as ForeignKey via broadcast_refs).
+    """
+
+    group_cols: tuple[str, ...]
+    ref_table: str = ""
+    ref_group_cols: tuple[str, ...] = ()
+    expected_col: str = ""
+
+    def __init__(self, *group_cols: str, ref_table: str,
+                 ref_group_cols: tuple[str, ...] | None = None,
+                 expected_col: str):
+        object.__setattr__(self, "group_cols", tuple(group_cols))
+        object.__setattr__(self, "ref_table", ref_table)
+        object.__setattr__(
+            self, "ref_group_cols",
+            tuple(ref_group_cols) if ref_group_cols else tuple(group_cols),
+        )
+        object.__setattr__(self, "expected_col", expected_col)
+
+    def check_id(self) -> str:
+        return (
+            f"count_match({','.join(self.group_cols)})->"
+            f"{self.ref_table}.{self.expected_col}"
+        )
+
+    def description(self) -> str:
+        return (
+            f"row count per {list(self.group_cols)} must equal "
+            f"{self.ref_table}.{self.expected_col}"
+        )
+
+
+@dataclass(frozen=True)
+class Benford(Constraint):
+    """First-significant-digit distribution of `col` must conform to
+    Benford's law within `threshold` mean absolute deviation (Nigrini's
+    MAD conformity statistic: mean over digits 1..9 of
+    |observed_proportion - log10(1 + 1/d)|; <= 0.006 close conformity,
+    0.006-0.012 acceptable, 0.012-0.015 marginal, > 0.015 nonconformity).
+
+    The distribution-level sibling of the reference's whale/amount
+    anomaly kernels (analysis/detectors/statistical_anomaly_detection.py)
+    — fabricated or mechanically-generated amount columns are the classic
+    Benford violator. Zero/null values carry no first digit and are
+    skipped.
+
+    Scale shape: digit extraction is a map-side expression (first
+    nonzero digit char of the decimal rendering — exact for decimal
+    columns, no float-log edge cases), so the whole check is ONE
+    map-side-combined groupBy to <= 9 rows per partition plus a
+    broadcast of the 9-row expected table.
+    """
+
+    col: str
+    threshold: float = 0.015
+    # digits are extracted from the decimal string rendering; floats are
+    # cast through decimal(38, scale) first so both Spark and an ANSI-SQL
+    # oracle see identical positional digits (no scientific notation)
+    scale: int = 6
+
+    def check_id(self) -> str:
+        return f"benford({self.col})"
+
+    def description(self) -> str:
+        return (
+            f"first-digit distribution of {self.col} must match "
+            f"Benford's law (MAD <= {self.threshold})"
+        )
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """All constraints for one table, plus its partition column.
 

@@ -907,6 +907,143 @@ ORACLES.update({"fd_violations": ORACLE_FD_VIOLATIONS})
 
 
 # ---------------------------------------------------------------------------
+# Round-3 constraint additions: per-key monotonicity, cross-table count
+# reconciliation, Benford first-digit conformity.
+# ---------------------------------------------------------------------------
+
+def q_monotonic_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key monotonicity check (MonotonicPerKey constraint kernel):
+    events.value must be non-decreasing over time within each user —
+    violating-row counts per user. ts is projected to epoch micros so
+    the deterministic RANGE frame (ties in ts never compare against each
+    other) applies; session TZ is pinned UTC on both engines."""
+    from anomaly_detector_faironchain_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "value",
+    )
+    viol = temporal.monotonic_violations(ev, ["user_id"], "ts_us", "value")
+    return viol.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_viol")
+    )
+
+
+ORACLE_MONOTONIC_VIOLATIONS = """
+WITH nn AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), m AS (
+  SELECT user_id, value,
+         MAX(value) OVER (
+           PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM nn
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_viol
+FROM m WHERE prev_max IS NOT NULL AND prev_max > value
+GROUP BY 1
+"""
+
+
+def q_count_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table count reconciliation (CountMatch constraint kernel):
+    events-per-user vs a manifest that deterministically undercounts
+    (it omits events whose id is divisible by 97) — the mismatch frame
+    is exactly the users owning at least one such event."""
+    from anomaly_detector_faironchain_spark.operators import referential
+
+    ev = _t(spark, sf_dir, "events")
+    manifest = (
+        ev.filter(F.col("event_id") % 97 != 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_declared"))
+    )
+    out = referential.check_count_match(
+        ev, ["user_id"], manifest, ["user_id"], "n_declared"
+    )
+    return out.select(
+        "user_id",
+        F.col("actual").cast("long").alias("actual"),
+        F.col("expected").cast("long").alias("expected"),
+        F.col("diff").cast("long").alias("diff"),
+    )
+
+
+ORACLE_COUNT_RECONCILIATION = """
+WITH a AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS actual
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), d AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS expected
+  FROM events WHERE user_id IS NOT NULL AND event_id % 97 <> 0 GROUP BY 1
+)
+SELECT COALESCE(a.user_id, d.user_id) AS user_id,
+       COALESCE(a.actual, 0) AS actual,
+       COALESCE(d.expected, 0) AS expected,
+       COALESCE(a.actual, 0) - COALESCE(d.expected, 0) AS diff
+FROM a FULL OUTER JOIN d ON a.user_id = d.user_id
+WHERE COALESCE(a.actual, 0) <> COALESCE(d.expected, 0)
+"""
+
+
+def q_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity (Benford constraint kernel) of
+    order totals per order status. Digits come from positional string
+    parsing of the decimal(38,6) rendering — no float log10 — so the
+    DuckDB oracle extracts identical digits."""
+    od = _t(spark, sf_dir, "orders")
+    out = drift_ops.benford_mad(od, "o_totalprice", 6, "o_orderstatus")
+    return out.select(
+        "partition_id",
+        F.round("mad", 6).cast("double").alias("mad"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+ORACLE_BENFORD_MAD = """
+WITH digits AS (
+  SELECT COALESCE(CAST(o_orderstatus AS VARCHAR), '__null__') AS partition_id,
+         regexp_extract(
+           CAST(TRY_CAST(abs(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
+           '[1-9]') AS d
+  FROM orders
+), nz AS (
+  SELECT partition_id, d FROM digits WHERE d IS NOT NULL AND d <> ''
+), c AS (
+  SELECT partition_id, d, COUNT(*) AS cnt FROM nz GROUP BY 1, 2
+), t AS (
+  SELECT partition_id, SUM(cnt) AS n FROM c GROUP BY 1
+), grid AS (
+  SELECT t.partition_id, t.n, e.d, e.p_exp
+  FROM t CROSS JOIN (
+    SELECT CAST(x AS VARCHAR) AS d, log10(1.0 + 1.0 / x) AS p_exp
+    FROM generate_series(1, 9) AS g(x)
+  ) e
+)
+SELECT g.partition_id,
+       CAST(ROUND(AVG(ABS(COALESCE(c.cnt, 0) / CAST(g.n AS DOUBLE) - g.p_exp)), 6) AS DOUBLE) AS mad,
+       CAST(MAX(g.n) AS BIGINT) AS n
+FROM grid g LEFT JOIN c ON g.partition_id = c.partition_id AND g.d = c.d
+GROUP BY 1
+"""
+
+QUERIES.update({
+    "monotonic_violations": q_monotonic_violations,
+    "count_reconciliation": q_count_reconciliation,
+    "benford_mad": q_benford_mad,
+})
+ORACLES.update({
+    "monotonic_violations": ORACLE_MONOTONIC_VIOLATIONS,
+    "count_reconciliation": ORACLE_COUNT_RECONCILIATION,
+    "benford_mad": ORACLE_BENFORD_MAD,
+})
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing registry order.
 #
 # The correctness driver checks the FIRST 50 entries of queries() in dict
@@ -923,6 +1060,8 @@ ORACLES.update({"fd_violations": ORACLE_FD_VIOLATIONS})
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # -- round-3 NEW constraints: never driver-checked -----------------------
+    "monotonic_violations", "count_reconciliation", "benford_mad",
     # -- 13 green-in-r1 but dropped by the r2 cap --------------------------
     "mahalanobis", "triangles", "egonet", "final_scores",
     "node_features", "self_loops", "mutual_pairs",

@@ -248,3 +248,129 @@ def test_functional_dependency_clean_passes(spark):
     assert res.passed()
     assert res.violations.count() == 0
     res.unpersist()
+
+
+def test_monotonic_per_key_constraint(spark):
+    from anomaly_detector_faironchain_spark.plans import MonotonicPerKey
+
+    df = spark.createDataFrame(
+        [
+            # k1: 10 -> 20 -> 15: ONE violation (the 15 after max 20)
+            ("a", "k1", 1, 10.0),
+            ("a", "k1", 2, 20.0),
+            ("a", "k1", 3, 15.0),
+            # k2: tie in order -> rows at equal order never compare
+            ("a", "k2", 1, 5.0),
+            ("a", "k2", 1, 4.0),
+            # k3: equal values OK non-strict, violation when strict
+            ("b", "k3", 1, 1.0),
+            ("b", "k3", 2, 1.0),
+            # nulls skipped
+            ("b", "k4", None, 9.0),
+            ("b", None, 2, 3.0),
+            ("b", "k5", 3, None),
+        ],
+        "grp string, key string, ord int, val double",
+    )
+    tspec = TableSpec(
+        name="t",
+        partition_col="grp",
+        constraints=(MonotonicPerKey("key", order_col="ord", value_col="val"),),
+    )
+    res = validate_table(df, tspec)
+    verdicts = {
+        r["partition_id"]: (r["passed"], r["n_violations"])
+        for r in res.verdicts.collect()
+    }
+    assert verdicts["a"] == (False, 1)
+    assert verdicts["b"] == (True, 0)
+    payloads = [json.loads(r["row_payload"]) for r in res.violations.collect()]
+    assert payloads == [{"key": "k1", "ord": 3, "val": 15.0, "prev_max": 20.0}]
+    res.unpersist()
+
+    strict_spec = TableSpec(
+        name="t",
+        partition_col="grp",
+        constraints=(
+            MonotonicPerKey("key", order_col="ord", value_col="val", strict=True),
+        ),
+    )
+    res2 = validate_table(df, strict_spec)
+    verdicts2 = {
+        r["partition_id"]: r["n_violations"] for r in res2.verdicts.collect()
+    }
+    # strict adds k3's equal-value row
+    assert verdicts2 == {"a": 1, "b": 1}
+    res2.unpersist()
+
+
+def test_count_match_constraint(spark):
+    from anomaly_detector_faironchain_spark.plans import CountMatch
+
+    df = spark.createDataFrame(
+        [("a", "k1"), ("a", "k1"), ("a", "k2"), ("b", "k3"), ("b", "k3")],
+        "grp string, key string",
+    )
+    manifest = spark.createDataFrame(
+        [("k1", 2), ("k2", 1), ("k3", 1), ("ghost", 4)],
+        "mkey string, n_files long",
+    )
+    tspec = TableSpec(
+        name="t",
+        partition_col="grp",
+        constraints=(
+            CountMatch("key", ref_table="manifest",
+                       ref_group_cols=("mkey",), expected_col="n_files"),
+        ),
+    )
+    res = validate_table(df, tspec, refs={"manifest": manifest})
+    verdicts = {
+        r["partition_id"]: (r["passed"], r["n_violations"], r["metric"])
+        for r in res.verdicts.collect()
+    }
+    assert verdicts["a"] == (True, 0, 0.0)            # k1, k2 both match
+    assert verdicts["b"] == (False, 1, 1.0)           # k3: 2 rows vs 1 declared
+    assert verdicts["__missing__"] == (False, 1, 4.0)  # ghost: declared, absent
+    payloads = {
+        json.loads(r["row_payload"])["key"]: json.loads(r["row_payload"])
+        for r in res.violations.collect()
+    }
+    assert payloads["k3"] == {"key": "k3", "actual": 2, "expected": 1, "diff": 1}
+    assert payloads["ghost"] == {
+        "key": "ghost", "actual": 0, "expected": 4, "diff": -4,
+    }
+    assert not res.passed()
+    res.unpersist()
+
+
+def test_benford_constraint(spark):
+    import math
+
+    from anomaly_detector_faironchain_spark.plans import Benford
+
+    # a perfectly Benford-ish partition: counts proportional to
+    # log10(1 + 1/d) out of 1000; and a uniform-digit partition (the
+    # classic fabricated-data signature, MAD = mean|1/9 - p_exp| ~ 0.0597)
+    rows = []
+    for d in range(1, 10):
+        n_good = round(1000 * math.log10(1 + 1 / d))
+        rows += [("good", float(d) + 0.023)] * n_good
+        rows += [("flat", float(d) + 0.023)] * 100
+    # zero / null rows carry no digit and are skipped
+    rows += [("good", 0.0), ("good", None)]
+    df = spark.createDataFrame(rows, "grp string, amount double")
+    tspec = TableSpec(
+        name="t",
+        partition_col="grp",
+        constraints=(Benford("amount", threshold=0.015),),
+    )
+    res = validate_table(df, tspec)
+    verdicts = {
+        r["partition_id"]: (r["passed"], r["metric"])
+        for r in res.verdicts.collect()
+    }
+    assert verdicts["good"][0] is True
+    assert verdicts["good"][1] < 0.005
+    assert verdicts["flat"][0] is False
+    assert abs(verdicts["flat"][1] - 0.0597) < 0.002
+    res.unpersist()
