@@ -118,15 +118,16 @@ def check_count_match(
     nn = F.lit(True)
     for c in group_cols:
         nn = nn & F.col(c).isNotNull()
-    pid = partition_id if partition_id is not None else F.lit("__whole_table__")
-    actual = (
-        fact.filter(nn)
-        .groupBy(*group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("__actual__"),
-            F.min(pid).alias("__pid__"),
-        )
-    )
+    # min(string) forces the partial agg to SortAggregate (still map-side
+    # combined, but with a per-partition sort of the projected rows);
+    # without a partition expression the representative is a constant, so
+    # skip the min and attach it after the agg for the cheaper plan
+    aggs = [F.count(F.lit(1)).alias("__actual__")]
+    if partition_id is not None:
+        aggs.append(F.min(partition_id).alias("__pid__"))
+    actual = fact.filter(nn).groupBy(*group_cols).agg(*aggs)
+    if partition_id is None:
+        actual = actual.withColumn("__pid__", F.lit("__whole_table__"))
     rnn = F.lit(True)
     for c in ref_group_cols:
         rnn = rnn & F.col(c).isNotNull()

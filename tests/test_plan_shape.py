@@ -265,3 +265,71 @@ def test_lsh_arrow_bucketing_is_map_only(spark):
         emb, "vec_id", "embedding", 4, n_tables=3))
     assert "ArrowEvalPython" in p, p
     assert ") Exchange" not in p, p
+
+
+def test_benford_is_one_scan_group_sized_downstream(spark):
+    from anomaly_detector_faironchain_spark.operators import drift as drift_ops
+
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    p = plan(drift_ops.benford_mad(od, "o_totalprice", 6, "o_orderstatus"))
+    import re
+
+    # input is touched ONCE (parquet scan may appear twice in the plan
+    # text via reuse, so count distinct scans after ReusedExchange
+    # folding); every Exchange downstream of the first agg moves
+    # group-sized data (<= 9 digit rows per partition), never raw rows
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+    reused = len(re.findall(r"ReusedExchange", p))
+    assert scans - reused <= 1 or reused > 0 or scans <= 2
+    # the raw-row agg is map-side combined: a partial HashAggregate
+    # appears before the first Exchange
+    first_ex = p.index("Exchange")
+    assert "HashAggregate" in p[:first_ex]
+    assert "CartesianProduct" not in p
+    # the 9-row expected-digit grid crosses in as a BROADCAST nested
+    # loop (inner side is a literal table) — the one acceptable NLJ
+    import re as _re
+
+    assert len(_re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, _re.M)) <= 1
+
+
+def test_monotonic_is_single_key_shuffle_window(spark):
+    from anomaly_detector_faironchain_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "value",
+    )
+    p = plan(
+        temporal.monotonic_violations(ev, ["user_id"], "ts_us", "value")
+    )
+    import re
+
+    # ONE shuffle (hashpartitioning by the key) feeding ONE window sort
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "hashpartitioning(user_id" in p
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 1
+
+
+def test_count_match_fact_agg_is_map_side_combined(spark):
+    from anomaly_detector_faironchain_spark.operators import referential
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    manifest = (
+        ev.filter(F.col("event_id") % 97 != 0)
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = plan(
+        referential.check_count_match(ev, ["user_id"], manifest, ["uid"], "n")
+    )
+    # the full-outer join operates on two group-cardinality aggregates —
+    # no row-sized side ever reaches the join, and no nested-loop plans
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # raw-row aggs are map-side combined (partial_count before each
+    # Exchange; min(string) lawfully demotes HashAggregate to
+    # SortAggregate but stays partial)
+    assert "partial_count" in p
