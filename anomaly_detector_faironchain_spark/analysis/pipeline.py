@@ -156,20 +156,43 @@ def extract_account_features(
 
 
 def features_from_edges(
-    edges: DataFrame, materialize_parts: bool = False
+    edges: DataFrame, materialize_parts: bool = False, fused: bool = True
 ) -> DataFrame:
     """Feature join over a (cached) aggregated edgelist.
 
-    Default (materialize_parts=False) keeps the whole 4-extractor join in
-    ONE fused job: every branch reads the same cached edgelist RDD, so
-    the edge-aggregation shuffle is computed once and shared, and stage
-    tails overlap across extractors. materialize_parts=True instead
+    fused=True (default): mutual-pair, triangle and egonet features come
+    from graph.fused_motif_features — ONE pair aggregation + ONE wedge
+    self-join serve all three (the standalone kernels pay a reversed-key
+    self-join plus TWO wedge enumerations of the same triangles);
+    per-node outputs are pytest-identical. The dominant motif stage is
+    halved; interleaved A/B in tools/fused_ab.py.
+
+    fused=False keeps the 4 standalone extractors (the A/B control and
+    the step-debugging form). materialize_parts=True additionally
     localCheckpoints each extractor output (a tiny per-node table) as its
     own sequential job before joining — useful for step-level debugging /
     retry granularity on flaky clusters; A/B-measured equal to the fused
-    plan on the 2M-edge bench corpus (within host variance), so the fused
-    form stays the default."""
+    plan on the 2M-edge bench corpus (within host variance)."""
     nf = graph.node_features(edges)
+    loops = graph.self_loop_flag(edges)
+    if fused and not materialize_parts:
+        motifs = graph.fused_motif_features(edges).select(
+            "node",
+            "two_node_loop_count", "two_node_loop_amount",
+            F.col("two_node_loop_tx").alias("two_node_loop_tx_count"),
+            F.col("triangle_count").alias("triangle_loop_count"),
+            F.col("triangle_amount").alias("triangle_loop_amount"),
+            F.col("triangle_tx").alias("triangle_loop_tx_count"),
+            F.col("ego_density").alias("egonet_density"),
+        )
+        return (
+            nf.join(motifs, "node", "left")
+            .join(loops, "node", "left")
+            .na.fill(0)
+            .withColumnRenamed("node", "account_sid")
+            .withColumn(
+                "address", F.substring_index(F.col("account_sid"), "_", -1))
+        )
     mutual = graph.mutual_pair_features(edges).withColumnRenamed(
         "two_node_loop_tx", "two_node_loop_tx_count"
     )
@@ -186,7 +209,6 @@ def features_from_edges(
     ego = graph.egonet_features(edges, method="wedge").select(
         "node", F.col("ego_density").alias("egonet_density")
     )
-    loops = graph.self_loop_flag(edges)
 
     if materialize_parts:
         nf = nf.localCheckpoint(eager=True)

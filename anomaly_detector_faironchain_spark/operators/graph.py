@@ -423,6 +423,246 @@ def egonet_features(
     )
 
 
+def fused_motif_features(
+    edges: DataFrame,
+    orientation: str = "id",
+    broadcast_degrees: bool = True,
+) -> DataFrame:
+    """Mutual-pair + directed-triangle + egonet features from ONE
+    triangle enumeration — the EP2 fusion of mutual_pair_features,
+    triangle_features and egonet_features(method="wedge"), which
+    separately pay one reversed-key self-join plus TWO wedge joins over
+    the same edgelist. Outputs are identical per node (pytest-asserted
+    against all three standalone kernels, both orientations).
+
+    Requires an AGGREGATED edgelist (≤1 row per directed (src,dst), as
+    aggregate_edges produces): pair direction flags are existence bits
+    and per-direction amount/cnt sums assume no parallel directed rows.
+
+    How the fusion works — everything derives from one undirected pair
+    table carrying per-direction attributes:
+
+        pairs(lo, hi, am_f, am_r, c_f, c_r)
+        (lo < hi by id; *_f / *_r = amount/cnt sums of the lo→hi / hi→lo
+        directed rows — existence bits and the directed multiplicity w
+        are DERIVED: lo→hi exists iff c_f > 0, w = (c_f>0)+(c_r>0) —
+        so the wedge intermediate carries only 4 attribute columns)
+
+      * mutual pairs are the rows with fwd ∧ rev — a map + explode to
+        both endpoints, NO join (the standalone kernel self-joins the
+        edgelist on the reversed key);
+      * undirected triangles are enumerated once via the order-minimal
+        wedge pivot (exactly _egonet_m_wedge's join shape: Σ_a C(d₊,2)
+        wedge rows + one (b,c) pair-key close);
+      * each triangle {a,b,c} yields BOTH feature families in the same
+        exploded credit row: the egonet m-credit (opposite-pair w, per
+        _egonet_m_wedge's decomposition) and the directed 3-cycle
+        credits — a triangle contains cycle a→b→c→a iff fwd_ab ∧
+        fwd_bc ∧ rev_ac and cycle a→c→b→a iff fwd_ac ∧ rev_bc ∧
+        rev_ab (direction bits read id-canonically: corner x→y exists
+        = fwd when x<y else rev — valid under EITHER pivot order), so
+        per corner: count += cycles, amount/tx += the existing cycles'
+        3-edge sums. This reproduces triangle_features exactly: every
+        directed cycle lives in one undirected triangle, and both credit
+        all 3 participants.
+
+    Cost vs the separate kernels on the same cached edgelist: one
+    groupBy(lo,hi) (same shuffle the egonet wedge already paid), ONE
+    wedge self-join + pair close (was two), one explode+groupBy (was
+    three), the reversed-key mutual join gone. The dominant wedge stage
+    is literally halved; see tools/fused_ab.py for the interleaved A/B.
+
+    orientation: total order for the wedge pivot, as in
+    triangle_features — "id" (zero prep) or "degree"
+    (node-iterator-core, O(m^1.5) wedge bound under mega-hub skew).
+
+    Returns per-node: two_node_loop_count/amount/tx, triangle_count/
+    amount/tx, ego_n, ego_m, ego_density — absent motifs filled with 0
+    (standalone kernels omit such nodes and EP2 fills 0 after its left
+    joins; here the fill happens once, against the complete node set).
+    """
+    e = edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", "amount", "cnt"
+    )
+    lo, hi = F.least("src", "dst"), F.greatest("src", "dst")
+    is_f = (F.col("src") == lo).cast("int")
+    # 4 attribute columns per pair is all three consumers need — the
+    # direction-existence bits and the multiplicity w are DERIVED
+    # (edge lo→hi exists iff c_f > 0: every directed row has cnt ≥ 1),
+    # keeping the wedge intermediate, the dominant cost, as slim as the
+    # egonet-only kernel's plus the amount/cnt payload
+    pairs = (
+        e.select(
+            lo.alias("lo"), hi.alias("hi"), is_f.alias("__f__"),
+            F.col("amount"), F.col("cnt"),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.sum(F.col("amount") * F.col("__f__")).alias("am_f"),
+            F.sum(F.col("amount") * (1 - F.col("__f__"))).alias("am_r"),
+            F.sum(F.col("cnt") * F.col("__f__")).alias("c_f"),
+            F.sum(F.col("cnt") * (1 - F.col("__f__"))).alias("c_r"),
+        )
+    )
+
+    def _w(tag: str):
+        return ((F.col(f"c_f_{tag}") > 0).cast("long")
+                + (F.col(f"c_r_{tag}") > 0).cast("long"))
+
+    # ---- mutual pairs: a filter over the pair table, no join ----------
+    mut = pairs.filter((F.col("c_f") > 0) & (F.col("c_r") > 0)).select(
+        F.explode(F.array("lo", "hi")).alias("node"),
+        (F.col("am_f") + F.col("am_r")).alias("__ma__"),
+        (F.col("c_f") + F.col("c_r")).alias("__mc__"),
+    ).groupBy("node").agg(
+        F.count(F.lit(1)).alias("two_node_loop_count"),
+        F.sum("__ma__").alias("two_node_loop_amount"),
+        F.sum("__mc__").alias("two_node_loop_tx"),
+    )
+
+    # ---- orient the pivot (same machinery as _egonet_m_wedge); pair
+    # attributes stay id-canonical regardless of the pivot order --------
+    attrs = ["am_f", "am_r", "c_f", "c_r"]
+    if orientation == "degree":
+        deg = (
+            pairs.select(F.col("lo").alias("v"))
+            .unionAll(pairs.select(F.col("hi")))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("__deg__"))
+        )
+        if broadcast_degrees:
+            deg = F.broadcast(deg)
+        ranked = (
+            pairs.join(deg.withColumnRenamed("v", "lo")
+                          .withColumnRenamed("__deg__", "__dlo__"), "lo")
+            .join(deg.withColumnRenamed("v", "hi")
+                     .withColumnRenamed("__deg__", "__dhi__"), "hi")
+        )
+        olo = F.struct(F.col("__dlo__").alias("d"), F.col("lo").alias("i"))
+        ohi = F.struct(F.col("__dhi__").alias("d"), F.col("hi").alias("i"))
+        oriented = ranked.select(
+            F.when(olo < ohi, F.col("lo")).otherwise(F.col("hi")).alias("lo"),
+            F.when(olo < ohi, F.col("hi")).otherwise(F.col("lo")).alias("hi"),
+            F.when(olo < ohi, ohi).otherwise(olo).alias("ord_hi"),
+            *attrs,
+        )
+    elif orientation == "id":
+        oriented = pairs.select("lo", "hi", F.col("hi").alias("ord_hi"), *attrs)
+    else:
+        raise ValueError(f"unknown orientation: {orientation!r}")
+
+    def _leg(a_name: str, b_name: str, tag: str) -> DataFrame:
+        return oriented.select(
+            F.col("lo").alias(a_name), F.col("hi").alias(b_name),
+            F.col("ord_hi").alias(f"ord_{b_name}"),
+            *[F.col(c).alias(f"{c}_{tag}") for c in attrs],
+        )
+
+    p1 = _leg("a", "b", "ab")
+    p2 = _leg("a", "c", "ac")
+    p3 = oriented.select(
+        F.col("lo").alias("b"), F.col("hi").alias("c"),
+        *[F.col(c).alias(f"{c}_bc") for c in attrs],
+    )
+    tri = (
+        p1.join(p2, "a").filter(F.col("ord_b") < F.col("ord_c"))
+        .join(p3, ["b", "c"])
+    )
+
+    # id-canonical direction reads: corner x→y takes the pair's fwd-side
+    # attribute when x is the id-lower endpoint (x<y), else the rev side
+    def _dir(x: str, y: str, tag: str, f: str, r: str):
+        return F.when(F.col(x) < F.col(y), F.col(f"{f}_{tag}")) \
+                .otherwise(F.col(f"{r}_{tag}"))
+
+    def _tag(x: str, y: str) -> str:
+        return "ab" if {x, y} == {"a", "b"} else (
+            "ac" if {x, y} == {"a", "c"} else "bc")
+
+    def _cycle(x: str, y: str, z: str, f: str, r: str, combine):
+        """x→y→z→x over pairs xy, yz, xz (tags are id-agnostic)."""
+        legs = [_dir(x, y, _tag(x, y), f, r), _dir(y, z, _tag(y, z), f, r),
+                _dir(z, x, _tag(z, x), f, r)]
+        return combine(legs)
+
+    def _exists(x, y, z):
+        # direction bit derived from the cnt sum: edge exists iff > 0
+        return _cycle(x, y, z, "c_f", "c_r",
+                      lambda L: ((L[0] > 0) & (L[1] > 0)
+                                 & (L[2] > 0)).cast("long"))
+
+    add = lambda L: L[0] + L[1] + L[2]  # noqa: E731
+    cyc1 = _exists("a", "b", "c")
+    cyc2 = _exists("a", "c", "b")
+    am1 = _cycle("a", "b", "c", "am_f", "am_r", add)
+    am2 = _cycle("a", "c", "b", "am_f", "am_r", add)
+    tx1 = _cycle("a", "b", "c", "c_f", "c_r", add)
+    tx2 = _cycle("a", "c", "b", "c_f", "c_r", add)
+
+    tri = tri.select(
+        "a", "b", "c",
+        _w("ab").alias("w_ab"), _w("ac").alias("w_ac"),
+        _w("bc").alias("w_bc"),
+        (cyc1 + cyc2).alias("tri_n"),
+        (cyc1 * am1 + cyc2 * am2).alias("tri_am"),
+        (cyc1 * tx1 + cyc2 * tx2).alias("tri_tx"),
+    )
+    credits = tri.select(F.explode(F.array(
+        F.struct(F.col("a").alias("v"), F.col("w_bc").alias("t"),
+                 F.col("tri_n"), F.col("tri_am"), F.col("tri_tx")),
+        F.struct(F.col("b").alias("v"), F.col("w_ac").alias("t"),
+                 F.col("tri_n"), F.col("tri_am"), F.col("tri_tx")),
+        F.struct(F.col("c").alias("v"), F.col("w_ab").alias("t"),
+                 F.col("tri_n"), F.col("tri_am"), F.col("tri_tx")),
+    )).alias("s")).select("s.*")
+    tri_ego = credits.groupBy("v").agg(
+        F.sum("t").alias("__t__"),
+        F.sum("tri_n").alias("triangle_count"),
+        F.sum("tri_am").alias("triangle_amount"),
+        F.sum("tri_tx").alias("triangle_tx"),
+    )
+
+    # ---- egonet n (1 + undirected degree) and incident-edge term ------
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst"))
+    ).distinct()
+    deg_u = (
+        pairs.select(F.explode(F.array("lo", "hi")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("__deg__"))
+    )
+    inc = (
+        e.select(F.col("src").alias("node")).unionAll(e.select(F.col("dst")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("__inc__"))
+    )
+
+    n_col = F.coalesce(F.col("__deg__"), F.lit(0)) + 1
+    m_col = (F.coalesce(F.col("__inc__"), F.lit(0))
+             + F.coalesce(F.col("__t__"), F.lit(0)))
+    return (
+        nodes.join(deg_u, "node", "left")
+        .join(inc, "node", "left")
+        .join(tri_ego, tri_ego["v"] == F.col("node"), "left").drop("v")
+        .join(mut, "node", "left")
+        .select(
+            "node",
+            F.coalesce("two_node_loop_count", F.lit(0)).cast("long")
+             .alias("two_node_loop_count"),
+            F.coalesce("two_node_loop_amount", F.lit(0))
+             .alias("two_node_loop_amount"),
+            F.coalesce("two_node_loop_tx", F.lit(0)).cast("long")
+             .alias("two_node_loop_tx"),
+            F.coalesce("triangle_count", F.lit(0)).cast("long")
+             .alias("triangle_count"),
+            F.coalesce("triangle_amount", F.lit(0)).alias("triangle_amount"),
+            F.coalesce("triangle_tx", F.lit(0)).cast("long")
+             .alias("triangle_tx"),
+            n_col.cast("long").alias("ego_n"),
+            m_col.cast("long").alias("ego_m"),
+            F.when(n_col > 1, m_col / (n_col * (n_col - 1)))
+             .otherwise(F.lit(0.0)).alias("ego_density"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

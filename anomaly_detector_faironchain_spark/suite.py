@@ -1062,6 +1062,7 @@ ORACLES.update({
 _DRIVER_PRIORITY = [
     # -- round-3 NEW constraints: never driver-checked -----------------------
     "monotonic_violations", "count_reconciliation", "benford_mad",
+    "motif_fused",  # fused mutual+triangle+egonet kernel (EP2's new default)
     # -- 13 green-in-r1 but dropped by the r2 cap --------------------------
     "mahalanobis", "triangles", "egonet", "final_scores",
     "node_features", "self_loops", "mutual_pairs",

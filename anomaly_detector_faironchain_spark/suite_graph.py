@@ -225,6 +225,86 @@ FROM n_tbl LEFT JOIN m_tbl ON m_tbl.v = n_tbl.v
 """
 
 
+# -- J9+J10+J11 fused: one triangle enumeration serves all three motifs -----
+
+def q_motif_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _syn_edges(spark, sf_dir)
+    out = graph.fused_motif_features(e)
+    return out.select(
+        "node",
+        F.col("two_node_loop_count").cast("long").alias("two_node_loop_count"),
+        F.round("two_node_loop_amount", 4).cast("double")
+         .alias("two_node_loop_amount"),
+        F.col("two_node_loop_tx").cast("long").alias("two_node_loop_tx"),
+        F.col("triangle_count").cast("long").alias("triangle_count"),
+        F.round("triangle_amount", 4).cast("double").alias("triangle_amount"),
+        F.col("triangle_tx").cast("long").alias("triangle_tx"),
+        "ego_n", "ego_m",
+        F.round("ego_density", 4).cast("double").alias("ego_density"),
+    )
+
+
+ORACLE_MOTIF_FUSED = f"""
+WITH {_SYN_EDGES_SQL.strip()},
+e AS (SELECT * FROM edges WHERE src <> dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+mut AS (
+  SELECT a.src AS node,
+         CAST(COUNT(*) AS BIGINT) AS two_node_loop_count,
+         SUM(a.amount + b.amount) AS two_node_loop_amount,
+         CAST(SUM(a.cnt + b.cnt) AS BIGINT) AS two_node_loop_tx
+  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+  GROUP BY 1
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,
+         e1.amount + e2.amount + e3.amount AS tri_amount,
+         e1.cnt + e2.cnt + e3.cnt AS tri_tx
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src
+  WHERE e1.src < e1.dst AND e1.src < e2.dst
+),
+tx AS (SELECT UNNEST([a, b, c]) AS node, tri_amount, tri_tx FROM tri),
+tcr AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangle_count,
+         SUM(tri_amount) AS triangle_amount,
+         CAST(SUM(tri_tx) AS BIGINT) AS triangle_tx
+  FROM tx GROUP BY 1
+),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+ego AS (SELECT src AS v, dst AS member FROM und
+        UNION ALL SELECT node, node FROM nodes),
+n_tbl AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM ego GROUP BY 1),
+m_tbl AS (
+  SELECT eb.v, CAST(COUNT(*) AS BIGINT) AS m
+  FROM e
+  JOIN ego eb ON eb.member = e.dst
+  WHERE EXISTS (SELECT 1 FROM ego ea WHERE ea.v = eb.v AND ea.member = e.src)
+  GROUP BY 1
+)
+SELECT nodes.node,
+       COALESCE(mut.two_node_loop_count, 0) AS two_node_loop_count,
+       CAST(ROUND(COALESCE(mut.two_node_loop_amount, 0), 4) AS DOUBLE)
+         AS two_node_loop_amount,
+       COALESCE(mut.two_node_loop_tx, 0) AS two_node_loop_tx,
+       COALESCE(tcr.triangle_count, 0) AS triangle_count,
+       CAST(ROUND(COALESCE(tcr.triangle_amount, 0), 4) AS DOUBLE)
+         AS triangle_amount,
+       COALESCE(tcr.triangle_tx, 0) AS triangle_tx,
+       n_tbl.n AS ego_n,
+       COALESCE(m_tbl.m, 0) AS ego_m,
+       CAST(ROUND(CASE WHEN n_tbl.n > 1
+            THEN COALESCE(m_tbl.m, 0) * 1.0 / (n_tbl.n * (n_tbl.n - 1))
+            ELSE 0.0 END, 4) AS DOUBLE) AS ego_density
+FROM nodes
+LEFT JOIN mut ON mut.node = nodes.node
+LEFT JOIN tcr ON tcr.node = nodes.node
+JOIN n_tbl ON n_tbl.v = nodes.node
+LEFT JOIN m_tbl ON m_tbl.v = nodes.node
+"""
+
+
 # -- K3: Mahalanobis distance (fused covariances + Arrow-batched matmul) ----
 
 def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +556,7 @@ QUERIES = {
     "mutual_pairs": q_mutual_pairs,
     "triangles": q_triangles,
     "egonet": q_egonet,
+    "motif_fused": q_motif_fused,
     "mahalanobis": q_mahalanobis,
     "final_scores": q_final_scores,
 }
@@ -489,6 +570,7 @@ ORACLES = {
     "mutual_pairs": ORACLE_MUTUAL_PAIRS,
     "triangles": ORACLE_TRIANGLES,
     "egonet": ORACLE_EGONET,
+    "motif_fused": ORACLE_MOTIF_FUSED,
     "mahalanobis": ORACLE_MAHALANOBIS,
     "final_scores": ORACLE_FINAL_SCORES,
 }

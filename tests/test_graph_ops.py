@@ -311,3 +311,72 @@ def test_connected_components_strategies_agree(spark):
     b = {r.id: r.component
          for r in graph.connected_components(df, min_strategy="window").collect()}
     assert a == b and len(a) == 51 + 21
+
+
+def _motif_reference_frame(df):
+    """Per-node dict of the three standalone kernels' outputs, absent
+    motifs filled with 0 — the contract fused_motif_features unifies."""
+    nodes = {r.node for r in df.select(F.col("src").alias("node")).union(
+        df.select(F.col("dst"))).distinct().collect()}
+    mut = {r.node: (r.two_node_loop_count, r.two_node_loop_amount,
+                    r.two_node_loop_tx)
+           for r in graph.mutual_pair_features(df).collect()}
+    tri = {r.node: (r.triangle_count, r.triangle_amount, r.triangle_tx)
+           for r in graph.triangle_features(df).collect()}
+    ego = {r.node: (r.ego_n, r.ego_m, round(r.ego_density, 9))
+           for r in graph.egonet_features(df, method="wedge").collect()}
+    return {
+        v: (mut.get(v, (0, 0.0, 0)), tri.get(v, (0, 0.0, 0)),
+            ego.get(v, (1, 0, 0.0)))
+        for v in nodes
+    }
+
+
+def _motif_fused_frame(df, orientation="id"):
+    return {
+        r.node: (
+            (r.two_node_loop_count, r.two_node_loop_amount,
+             r.two_node_loop_tx),
+            (r.triangle_count, r.triangle_amount, r.triangle_tx),
+            (r.ego_n, r.ego_m, round(r.ego_density, 9)),
+        )
+        for r in graph.fused_motif_features(df, orientation=orientation)
+        .collect()
+    }
+
+
+def test_fused_motif_features_matches_standalone_kernels(spark):
+    """One triangle enumeration must reproduce mutual_pair_features,
+    triangle_features AND egonet_features(wedge) exactly — random dense
+    directed graph with self-loops and a self-loop-only node, both pivot
+    orientations."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}",
+             float(rng.randrange(1, 100)), i) for i in range(400)]
+    rows += [("n0", "n0", 5.0, 900), ("lonely", "lonely", 2.0, 901)]
+    df = graph.aggregate_edges(
+        spark.createDataFrame(
+            rows, "src string, dst string, amount double, ts long"),
+        "src", "dst", "amount", "ts")
+    want = _motif_reference_frame(df)
+    assert _motif_fused_frame(df) == want
+    assert _motif_fused_frame(df, orientation="degree") == want
+    assert want["lonely"][2] == (1, 0, 0.0)
+
+
+def test_fused_motif_features_on_hub_graph(spark):
+    """Hub-skew shape (mega-hub low in the id order): degree orientation
+    must agree with id orientation and with the standalone kernels."""
+    rows = [("a_hub", f"x{i:03d}", 1.0, i) for i in range(60)]
+    rows += [(f"x{i:03d}", "a_hub", 2.0, 100 + i) for i in range(0, 60, 2)]
+    rows += [(f"x{i:03d}", f"x{i+1:03d}", 3.0, 200 + i) for i in range(59)]
+    rows += [("x000", "x002", 1.5, 300), ("x002", "x000", 1.5, 301)]
+    df = graph.aggregate_edges(
+        spark.createDataFrame(
+            rows, "src string, dst string, amount double, ts long"),
+        "src", "dst", "amount", "ts")
+    want = _motif_reference_frame(df)
+    assert _motif_fused_frame(df) == want
+    assert _motif_fused_frame(df, orientation="degree") == want
