@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from anomaly_detector_faironchain_spark.plans.spec import (
+    CardinalityBounds,
+    Freshness,
     InRange,
     InSet,
     LengthInRange,
@@ -181,6 +183,26 @@ def profile_aggs(
         aggs.append(
             F.sum(null_pred.cast("long")).alias(f"key_nulls__{u.check_id()}")
         )
+
+    # Freshness: one max() per constraint, cast to double (timestamps →
+    # epoch seconds) so the verdict builder compares against as_of
+    # uniformly. Zero extra scans.
+    for fr in spec.by_type(Freshness):
+        aggs.append(
+            F.max(F.col(fr.col)).cast("double").alias(
+                f"freshness_max__{fr.check_id()}"
+            )
+        )
+
+    # CardinalityBounds approx mode: HLL estimate rides the fused pass
+    # (exact mode runs its own two-level agg in the compiler instead).
+    for cb in spec.by_type(CardinalityBounds):
+        if cb.mode == "approx":
+            aggs.append(
+                F.approx_count_distinct(F.col(cb.col), cb.rsd).alias(
+                    f"approx_distinct__{cb.check_id()}"
+                )
+            )
     return aggs
 
 

@@ -232,6 +232,27 @@ def functional_dependency_groups(
     )
 
 
+def distinct_count_per_partition(
+    df: DataFrame, spec: TableSpec, col: str
+) -> DataFrame:
+    """Exact per-partition distinct count of one column for the
+    CardinalityBounds exact mode: two-level aggregation —
+    groupBy(partition, col) with map-side combine collapses duplicates
+    before any shuffle, then a count per partition. Raw rows never
+    shuffle and no Expand operator appears (a countDistinct mixed into
+    the fused profile agg would force one, multiplying the scan's rows
+    by the aggregate count). Nulls are excluded (the ratio's
+    denominator is the non-null count from the fused profile)."""
+    part = partition_expr(spec).alias("partition_id")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(part, F.col(col))
+        .agg(F.lit(1).alias("__one__"))
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+
+
 def check_functional_dependency(
     groups: DataFrame, fd
 ) -> tuple[DataFrame, DataFrame]:

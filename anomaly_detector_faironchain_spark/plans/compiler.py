@@ -26,10 +26,12 @@ from anomaly_detector_faironchain_spark.operators import drift as drift_ops
 from anomaly_detector_faironchain_spark.operators import referential, stats, temporal, uniqueness
 from anomaly_detector_faironchain_spark.plans.spec import (
     Benford,
+    CardinalityBounds,
     CountMatch,
     Drift,
     ForeignKey,
     FunctionalDependency,
+    Freshness,
     MonotonicPerKey,
     TableSpec,
     Unique,
@@ -378,6 +380,18 @@ def validate_table(
         cached_frames.append(bf_mad)
         bf_items.append((bf, bf_mad))
 
+    # CardinalityBounds exact mode: one extra two-level aggregation per
+    # constraint (approx mode rides the fused profile — nothing to warm).
+    card_items: list[tuple] = []
+    for cb in spec.by_type(CardinalityBounds):
+        grp = None
+        if cb.mode == "exact":
+            grp = uniqueness.distinct_count_per_partition(
+                df, spec, cb.col
+            ).persist()
+            cached_frames.append(grp)
+        card_items.append((cb, grp))
+
     drift_items: list[tuple] = []
     for d in spec.by_type(Drift):
         if d.col not in drift_refs:
@@ -613,6 +627,73 @@ def validate_table(
                 F.lit(float(bf.threshold)).alias("threshold"),
                 F.lit(0).cast("long").alias("n_violations"),
                 F.lit(bf.description()).alias("description"),
+            )
+        )
+
+    # Pass 1b: freshness — straight off the fused profile's max()
+    # aggregate; a partition with no non-null values FAILS (metric null
+    # → staleness indistinguishable from a stopped feed; see spec).
+    for fr in spec.by_type(Freshness):
+        fmax = F.col(f"freshness_max__{fr.check_id()}")
+        verdict_parts.append(
+            profile.select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(fr.check_id()).alias("check_id"),
+                F.coalesce(
+                    fmax >= F.lit(fr.as_of - fr.max_age), F.lit(False)
+                ).alias("passed"),
+                (F.lit(fr.as_of) - fmax).cast("double").alias("metric"),
+                F.lit(float(fr.max_age)).alias("threshold"),
+                F.lit(0).cast("long").alias("n_violations"),
+                F.lit(fr.description()).alias("description"),
+            )
+        )
+
+    # Pass 1c/2d: cardinality bounds — approx mode reads the profile's
+    # HLL estimate; exact mode joins the warmed two-level distinct
+    # counts. Denominator is the profile's non-null count either way. A
+    # partition with no non-null values passes vacuously.
+    for cb, grp in card_items:
+        nonnull = F.col("n_rows") - F.col(f"null_count__{cb.col}")
+        if cb.mode == "exact":
+            base = profile.select(
+                "partition_id", nonnull.alias("__nn__")
+            ).join(grp, "partition_id", "left")
+            nd = F.coalesce(F.col("n_distinct"), F.lit(0))
+        else:
+            base = profile.select(
+                "partition_id",
+                nonnull.alias("__nn__"),
+                F.col(f"approx_distinct__{cb.check_id()}").alias("n_distinct"),
+            )
+            nd = F.col("n_distinct")
+        if cb.is_absolute():
+            lo = float(0 if cb.lo_abs is None else cb.lo_abs)
+            hi = float("inf") if cb.hi_abs is None else float(cb.hi_abs)
+            metric = nd.cast("double")
+            passed = metric.between(F.lit(lo), F.lit(hi))
+            threshold = F.lit(hi)
+        else:
+            ratio = F.when(F.col("__nn__") > 0, nd / F.col("__nn__"))
+            metric = F.coalesce(ratio, F.lit(0.0)).cast("double")
+            passed = F.coalesce(
+                ratio.between(
+                    F.lit(float(cb.lo_ratio)), F.lit(float(cb.hi_ratio))
+                ),
+                F.lit(True),
+            )
+            threshold = F.lit(float(cb.hi_ratio))
+        verdict_parts.append(
+            base.select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(cb.check_id()).alias("check_id"),
+                passed.alias("passed"),
+                metric.alias("metric"),
+                threshold.alias("threshold"),
+                F.lit(0).cast("long").alias("n_violations"),
+                F.lit(cb.description()).alias("description"),
             )
         )
 

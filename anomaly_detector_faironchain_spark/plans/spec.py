@@ -430,6 +430,107 @@ class Benford(Constraint):
 
 
 @dataclass(frozen=True)
+class Freshness(Constraint):
+    """max(col) per partition must be within `max_age` of `as_of`
+    (same unit as the column — epoch seconds for timestamps, which the
+    engine reads via cast-to-double).
+
+    The temporal complement of CountMatch: CountMatch proves declared
+    data arrived; Freshness proves data kept arriving — a partition
+    whose newest row is older than `max_age` means an upstream feed
+    silently stopped (the reference's monthly re-run contract,
+    etl/run_preprocessing.py:6-10, assumes exactly this never happens;
+    here it is a certified check).
+
+    `as_of` is an explicit caller-supplied reference instant, never
+    wall-clock — verdicts are deterministic and reproducible from the
+    lineage manifest. A partition with NO non-null values FAILS
+    (metric null): data absence is the extreme form of staleness; use
+    CountMatch to attribute which groups are missing entirely.
+
+    Scale shape: rides the fused profile pass (ONE extra max()
+    aggregate, zero extra scans).
+    """
+
+    col: str
+    max_age: float = 0.0
+    as_of: float = 0.0
+
+    def __init__(self, col: str, *, max_age: float, as_of: float):
+        object.__setattr__(self, "col", col)
+        object.__setattr__(self, "max_age", float(max_age))
+        object.__setattr__(self, "as_of", float(as_of))
+
+    def check_id(self) -> str:
+        return f"freshness({self.col})"
+
+    def description(self) -> str:
+        return (
+            f"max({self.col}) must be within {self.max_age} of "
+            f"as_of={self.as_of}"
+        )
+
+
+@dataclass(frozen=True)
+class CardinalityBounds(Constraint):
+    """distinct({col}) / non-null-count({col}) per partition must lie in
+    [lo_ratio, hi_ratio].
+
+    Catches the two silent corpus corruptions a per-row check cannot
+    see: constant-fill (a defaulted column — ratio collapses toward 0)
+    and key explosion (a fanned-out join wrote near-unique values into
+    a low-cardinality column — ratio climbs toward 1). The
+    distribution-level sibling of Unique: Unique certifies ratio == 1
+    on a key; this bounds the ratio on a NON-key column.
+
+    Absolute form: when `lo_abs`/`hi_abs` are set the bound applies to
+    the distinct COUNT itself instead of the ratio — the
+    scale-invariant shape for enum-like columns (a ratio bound on an
+    enum inflates as partitions shrink; "distinct(lang) <= 8" holds at
+    15 rows and at 10^9). Unlike InSet it needs no domain list — only
+    a cardinality budget ("user_agent must stay under 10k values").
+
+    mode='approx' (default): the HLL estimate joins the fused profile
+    pass — zero extra scans; the estimate carries the sketch's relative
+    error (rsd), so keep bounds at least ~3*rsd away from the decision
+    point. mode='exact': one extra two-level aggregation
+    (groupBy(partition, col) map-side combined, then count per
+    partition — raw rows never shuffle, no Expand).
+
+    A partition with no non-null values passes vacuously in ratio form
+    (NotNull owns absence); in absolute form its distinct count is 0,
+    judged against lo_abs like any other value.
+    """
+
+    col: str
+    lo_ratio: float = 0.0
+    hi_ratio: float = 1.0
+    mode: str = "approx"  # 'approx' | 'exact'
+    rsd: float = 0.02
+    lo_abs: int | None = None  # either abs bound set → absolute form
+    hi_abs: int | None = None
+
+    def is_absolute(self) -> bool:
+        return self.lo_abs is not None or self.hi_abs is not None
+
+    def check_id(self) -> str:
+        return f"cardinality({self.col})"
+
+    def description(self) -> str:
+        if self.is_absolute():
+            lo = 0 if self.lo_abs is None else self.lo_abs
+            hi = "inf" if self.hi_abs is None else self.hi_abs
+            return (
+                f"distinct-count of {self.col} must be in "
+                f"[{lo}, {hi}] ({self.mode})"
+            )
+        return (
+            f"distinct-ratio of {self.col} must be in "
+            f"[{self.lo_ratio}, {self.hi_ratio}] ({self.mode})"
+        )
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """All constraints for one table, plus its partition column.
 

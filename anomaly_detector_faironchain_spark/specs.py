@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from anomaly_detector_faironchain_spark.datagen import source_files as gen
 from anomaly_detector_faironchain_spark.plans.spec import (
+    CardinalityBounds,
     ForeignKey,
     FunctionalDependency,
     InSet,
@@ -35,6 +36,12 @@ def north_rule_spec(partition_col: str = "bucket") -> TableSpec:
             Unique("file_sid"),
             Regex("commit", "[0-9a-f]{40}"),
             InSet("lang", gen.LANGS),
+            # enum-cardinality budget: more distinct langs than the enum
+            # has members means the column stopped being an enum (the
+            # classic shifted-column ingestion bug). Absolute form is
+            # scale-invariant (holds at 15 rows and at 10^9); the HLL
+            # estimate rides the fused pass — zero extra scans
+            CardinalityBounds("lang", hi_abs=len(gen.LANGS), mode="approx"),
             LengthInRange("content", 1, 1 << 20),
             ForeignKey(("repo",), "repos", ("repo",)),
             # north_star's commit->repo referential shape: a commit hash

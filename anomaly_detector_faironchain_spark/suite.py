@@ -29,7 +29,9 @@ from anomaly_detector_faironchain_spark.operators import (
 from anomaly_detector_faironchain_spark.operators import drift as drift_ops
 from anomaly_detector_faironchain_spark.plans.compiler import validate_table
 from anomaly_detector_faironchain_spark.plans.spec import (
+    CardinalityBounds,
     ForeignKey,
+    Freshness,
     InRange,
     InSet,
     NotNull,
@@ -1044,6 +1046,116 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Round-3 constraint additions (batch 2): freshness + cardinality bounds.
+# Both are profile-pass constraints — the verdict derives from the ONE
+# fused aggregation scan (Freshness always; CardinalityBounds in approx
+# mode; the query below exercises the exact-mode two-level agg so the
+# DuckDB oracle can match bit-for-bit).
+# ---------------------------------------------------------------------------
+
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness constraint kernel: per-event-type staleness of events
+    vs a fixed as_of instant (explicit, never wall-clock). The 'error'
+    stream is truncated at Jan 15 so one partition genuinely fails.
+    Verdict rides the fused profile pass — zero extra scans."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            ~(
+                (F.col("event_type") == "error")
+                & (F.col("ts") >= F.lit("2024-01-15").cast("timestamp_ntz"))
+            )
+        )
+        # epoch seconds as double (micros precision) — same projection as
+        # q_monotonic_violations; session TZ pinned UTC on both engines
+        .select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1e6
+            ).alias("ts_s"),
+        )
+    )
+    spec = TableSpec(
+        name="events",
+        partition_col="event_type",
+        constraints=(
+            Freshness("ts_s", max_age=100000.0, as_of=1706700000.0),
+        ),
+    )
+    res = validate_table(
+        ev, spec, materialize_violations=False, eager_warm=False
+    )
+    return res.verdicts.filter(
+        F.col("check_id").startswith("freshness")
+    ).select(
+        "partition_id",
+        F.round("metric", 3).cast("double").alias("staleness_s"),
+        "passed",
+    )
+
+
+ORACLE_FRESHNESS = """
+WITH src AS (
+  SELECT event_type, ts FROM events
+  WHERE NOT (event_type = 'error' AND ts >= TIMESTAMP '2024-01-15')
+)
+SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS partition_id,
+       CAST(ROUND(1706700000.0 - epoch(MAX(ts)), 3) AS DOUBLE) AS staleness_s,
+       COALESCE(epoch(MAX(ts)) >= 1706700000.0 - 100000.0, FALSE) AS passed
+FROM src GROUP BY 1
+"""
+
+
+def q_cardinality_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CardinalityBounds constraint kernel (exact mode): distinct
+    p_size per brand over non-null rows must land in [0.44, 0.60] —
+    the sf0.01 brands genuinely straddle both bounds, so real pass AND
+    fail verdicts materialize. Exact mode = one two-level aggregation
+    (groupBy(brand, size) map-side combined, then count per brand);
+    raw rows never shuffle."""
+    pt = _t(spark, sf_dir, "part").select("p_brand", "p_size")
+    spec = TableSpec(
+        name="part",
+        partition_col="p_brand",
+        constraints=(
+            CardinalityBounds(
+                "p_size", lo_ratio=0.44, hi_ratio=0.60, mode="exact"
+            ),
+        ),
+    )
+    res = validate_table(
+        pt, spec, materialize_violations=False, eager_warm=False
+    )
+    return res.verdicts.filter(
+        F.col("check_id").startswith("cardinality")
+    ).select(
+        "partition_id",
+        F.round("metric", 6).cast("double").alias("ratio"),
+        "passed",
+    )
+
+
+ORACLE_CARDINALITY_RATIO = """
+SELECT COALESCE(CAST(p_brand AS VARCHAR), '__null__') AS partition_id,
+       CAST(ROUND(COUNT(DISTINCT p_size) * 1.0 / COUNT(p_size), 6) AS DOUBLE)
+         AS ratio,
+       COALESCE(
+         COUNT(DISTINCT p_size) * 1.0 / COUNT(p_size) BETWEEN 0.44 AND 0.60,
+         TRUE) AS passed
+FROM part GROUP BY 1
+"""
+
+QUERIES.update({
+    "freshness": q_freshness,
+    "cardinality_ratio": q_cardinality_ratio,
+})
+ORACLES.update({
+    "freshness": ORACLE_FRESHNESS,
+    "cardinality_ratio": ORACLE_CARDINALITY_RATIO,
+})
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing registry order.
 #
 # The correctness driver checks the FIRST 50 entries of queries() in dict
@@ -1061,6 +1173,7 @@ ORACLES.update({
 
 _DRIVER_PRIORITY = [
     # -- round-3 NEW constraints: never driver-checked -----------------------
+    "freshness", "cardinality_ratio",
     "monotonic_violations", "count_reconciliation", "benford_mad",
     "motif_fused",  # fused mutual+triangle+egonet kernel (EP2's new default)
     # -- 13 green-in-r1 but dropped by the r2 cap --------------------------

@@ -333,3 +333,54 @@ def test_count_match_fact_agg_is_map_side_combined(spark):
     # Exchange; min(string) lawfully demotes HashAggregate to
     # SortAggregate but stays partial)
     assert "partial_count" in p
+
+
+def test_cardinality_exact_is_two_level_agg_no_expand(spark):
+    """CardinalityBounds exact mode: the distinct count must be the
+    two-level form (partial agg on (partition, col) collapses duplicates
+    map-side, then count per partition) — never an Expand, which would
+    multiply every scanned row by the aggregate count."""
+    from anomaly_detector_faironchain_spark.operators import uniqueness
+    from anomaly_detector_faironchain_spark.plans.spec import TableSpec
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    tspec = TableSpec(name="lineitem", constraints=(), partition_col="l_returnflag")
+    q = uniqueness.distinct_count_per_partition(li, tspec, "l_partkey")
+    p = plan(q)
+    assert "Expand" not in p
+    # two aggregation levels, each partial+final = 4 HashAggregates
+    # (formatted explain prints each node twice: tree + detail)
+    assert p.count("HashAggregate") == 2 * 4
+    # raw rows never shuffle: only the deduped (partition, col) pairs do
+    assert p.count("Exchange") == 2 * 2
+
+
+def test_freshness_and_approx_cardinality_ride_the_profile_pass(spark):
+    """Freshness + approx CardinalityBounds add aggregates to the ONE
+    fused profile scan — plan stays a single partial+final aggregate
+    over a single parquet scan."""
+    from anomaly_detector_faironchain_spark.operators import stats as st
+    from anomaly_detector_faironchain_spark.plans.spec import (
+        CardinalityBounds,
+        Freshness,
+        TableSpec,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_partkey", "l_quantity"
+    )
+    tspec = TableSpec(
+        name="lineitem",
+        partition_col="l_returnflag",
+        constraints=(
+            Freshness("l_quantity", max_age=10.0, as_of=100.0),
+            CardinalityBounds("l_partkey", hi_ratio=0.9, mode="approx"),
+        ),
+        profile_len_cols=(),
+    )
+    q = st.profile_table(li, tspec)
+    p = plan(q)
+    assert p.count("Scan parquet") == 2 * 1  # tree + detail
+    assert p.count("Exchange") == 2 * 1  # one partial+final agg boundary
+    assert "freshness_max__freshness(l_quantity)" in "".join(q.columns)
+    assert "approx_distinct__cardinality(l_partkey)" in "".join(q.columns)

@@ -374,3 +374,103 @@ def test_benford_constraint(spark):
     assert verdicts["flat"][0] is False
     assert abs(verdicts["flat"][1] - 0.0597) < 0.002
     res.unpersist()
+
+
+def test_freshness_constraint(spark):
+    from anomaly_detector_faironchain_spark.plans import Freshness
+
+    # fresh partition (max=990), stale partition (max=500), and a
+    # partition whose values are all null → FAILS (absence = staleness)
+    rows = (
+        [("fresh", float(v)) for v in (100, 990, 400)]
+        + [("stale", float(v)) for v in (100, 500)]
+        + [("empty", None)]
+    )
+    df = spark.createDataFrame(rows, "grp string, ts double")
+    tspec = TableSpec(
+        name="t",
+        partition_col="grp",
+        constraints=(Freshness("ts", max_age=100.0, as_of=1000.0),),
+    )
+    res = validate_table(df, tspec)
+    verdicts = {
+        r["partition_id"]: (r["passed"], r["metric"])
+        for r in res.verdicts.collect()
+    }
+    assert verdicts["fresh"] == (True, 10.0)
+    assert verdicts["stale"] == (False, 500.0)
+    assert verdicts["empty"][0] is False and verdicts["empty"][1] is None
+    # zero extra scans: the max() aggregate lives inside the fused profile
+    assert "freshness_max__freshness(ts)" in res.profile.columns
+    res.unpersist()
+
+
+def test_cardinality_bounds_constraint(spark):
+    from anomaly_detector_faironchain_spark.plans import CardinalityBounds
+
+    # constant-fill (ratio 1/4), healthy (2/4), exploded (4/4); nulls are
+    # excluded from both numerator and denominator; all-null passes
+    # vacuously
+    rows = (
+        [("const", "x")] * 4
+        + [("ok", v) for v in ("a", "a", "b", "b")]
+        + [("boom", v) for v in ("a", "b", "c", "d")]
+        + [("ok", None), ("nulls", None)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    for mode in ("exact", "approx"):
+        tspec = TableSpec(
+            name="t",
+            partition_col="grp",
+            constraints=(
+                CardinalityBounds("v", lo_ratio=0.4, hi_ratio=0.8, mode=mode),
+            ),
+            profile_len_cols=(),
+        )
+        res = validate_table(df, tspec)
+        verdicts = {
+            r["partition_id"]: (r["passed"], r["metric"])
+            for r in res.verdicts.filter(
+                F.col("check_id").startswith("cardinality")
+            ).collect()
+        }
+        # HLL is exact at these cardinalities, so both modes agree
+        assert verdicts["const"] == (False, 0.25), mode
+        assert verdicts["ok"] == (True, 0.5), mode
+        assert verdicts["boom"] == (False, 1.0), mode
+        assert verdicts["nulls"] == (True, 0.0), mode
+        if mode == "approx":
+            # approx mode rides the fused profile — no extra cached scan
+            assert "approx_distinct__cardinality(v)" in res.profile.columns
+        res.unpersist()
+
+
+def test_cardinality_absolute_form(spark):
+    from anomaly_detector_faironchain_spark.plans import CardinalityBounds
+
+    rows = (
+        [("enumish", v) for v in ("a", "b", "a", "c")]
+        + [("exploded", str(i)) for i in range(6)]
+        + [("empty", None)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    tspec = TableSpec(
+        name="t",
+        partition_col="grp",
+        constraints=(
+            CardinalityBounds("v", hi_abs=4, mode="exact"),
+        ),
+        profile_len_cols=(),
+    )
+    res = validate_table(df, tspec)
+    verdicts = {
+        r["partition_id"]: (r["passed"], r["metric"])
+        for r in res.verdicts.filter(
+            F.col("check_id").startswith("cardinality")
+        ).collect()
+    }
+    assert verdicts["enumish"] == (True, 3.0)
+    assert verdicts["exploded"] == (False, 6.0)
+    # absolute form: empty partition's distinct count is 0, within [0, 4]
+    assert verdicts["empty"] == (True, 0.0)
+    res.unpersist()
