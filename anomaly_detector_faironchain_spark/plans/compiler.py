@@ -33,6 +33,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     FunctionalDependency,
     Freshness,
     MonotonicPerKey,
+    ProfileOutlier,
     TableSpec,
     Unique,
 )
@@ -694,6 +695,65 @@ def validate_table(
                 threshold.alias("threshold"),
                 F.lit(0).cast("long").alias("n_violations"),
                 F.lit(cb.description()).alias("description"),
+            )
+        )
+
+    # Pass 1d: fleet-relative profile outliers — median/MAD across the
+    # partitions of THIS run, computed over the tiny persisted profile
+    # frame (one row per partition; the two fleet aggregates each reduce
+    # it to a single broadcast row). Zero extra scans of the data.
+    for po in spec.by_type(ProfileOutlier):
+        if po.metric == "row_count":
+            x = F.col("n_rows").cast("double")
+        elif po.metric == "null_fraction":
+            ncol = f"null_count__{po.col}"
+            if ncol not in profile.columns:
+                raise ValueError(
+                    f"ProfileOutlier(null_fraction:{po.col}): {po.col!r} "
+                    "is not a profiled column"
+                )
+            x = (F.col(ncol) / F.col("n_rows")).cast("double")
+        else:  # mean
+            mcol = f"mean__{po.col}"
+            if mcol not in profile.columns:
+                raise ValueError(
+                    f"ProfileOutlier(mean:{po.col}): {po.col!r} is not a "
+                    "numeric profiled column"
+                )
+            x = F.col(mcol).cast("double")
+        base = profile.select("partition_id", x.alias("__x__"))
+        med = base.agg(
+            F.expr("percentile(__x__, 0.5)").alias("__med__")
+        )
+        with_med = base.crossJoin(F.broadcast(med))
+        mad = with_med.agg(
+            F.expr("percentile(abs(__x__ - __med__), 0.5)").alias("__mad__")
+        )
+        j = with_med.crossJoin(F.broadcast(mad))
+        # guard the division (ANSI-safe): rz only when MAD > 0;
+        # MAD == 0 → pass iff x equals the median exactly
+        rz = F.abs(F.col("__x__") - F.col("__med__")) / (
+            F.lit(1.4826) * F.col("__mad__")
+        )
+        metric = F.when(F.col("__mad__") > 0, rz).when(
+            F.col("__x__") == F.col("__med__"), F.lit(0.0)
+        )
+        passed = F.coalesce(
+            F.when(F.col("__mad__") > 0, rz <= F.lit(float(po.z_max))).otherwise(
+                F.col("__x__") == F.col("__med__")
+            ),
+            F.lit(False),  # NULL metric: the profile cannot vouch for it
+        )
+        verdict_parts.append(
+            j.select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(po.check_id()).alias("check_id"),
+                passed.alias("passed"),
+                metric.cast("double").alias("metric"),
+                F.lit(float(po.z_max)).alias("threshold"),
+                F.lit(0).cast("long").alias("n_violations"),
+                F.lit(po.description()).alias("description"),
             )
         )
 

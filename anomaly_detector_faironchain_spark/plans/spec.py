@@ -531,6 +531,65 @@ class CardinalityBounds(Constraint):
 
 
 @dataclass(frozen=True)
+class ProfileOutlier(Constraint):
+    """Per-partition profile metric must not be a robust-z (MAD) outlier
+    relative to its SIBLING partitions: |x - median| / (1.4826 * MAD)
+    must stay <= z_max, with median/MAD taken across all partitions of
+    the same run.
+
+    The fleet-relative complement of every fixed-threshold check, and
+    the direct generalization of the reference's whale-scoring kernel
+    (robust z over log-features, statistical_anomaly_detection.py:60-103)
+    lifted from rows to PARTITIONS: no threshold to tune or re-tune as
+    the corpus grows — a partition is anomalous because it disagrees
+    with its siblings TODAY. Catches the failures fixed bounds cannot
+    see: one feed's null rate drifting while still under a global cap,
+    one shard loaded twice (row_count outlier without needing a
+    CountMatch manifest), one partition's numeric mean shifted by a
+    unit-change bug.
+
+    metric: 'null_fraction' (needs col), 'mean' (numeric col),
+    'row_count' (no col). All three read the already-computed fused
+    profile — ZERO extra scans of the data; the median/MAD pass runs
+    over the tiny one-row-per-partition profile frame (even at 10^12
+    files that is #partitions rows, and the two fleet aggregates reduce
+    it to one broadcast row each).
+
+    Degenerate fleet (MAD == 0, i.e. >= half the partitions share the
+    median exactly): a partition passes iff its metric EQUALS the
+    median — any deviation from an otherwise-constant fleet is an
+    outlier. A partition whose metric is NULL (e.g. mean of an all-null
+    partition) FAILS: the profile cannot vouch for it. Needs >= 2
+    partitions to be meaningful; with one partition it passes trivially
+    (x == median by construction).
+    """
+
+    metric: str = "mean"  # 'mean' | 'null_fraction' | 'row_count'
+    col: str | None = None
+    z_max: float = 3.5
+
+    def __post_init__(self):
+        if self.metric not in ("mean", "null_fraction", "row_count"):
+            raise ValueError(f"unknown profile metric {self.metric!r}")
+        if self.metric == "row_count":
+            if self.col is not None:
+                raise ValueError("row_count takes no column")
+        elif self.col is None:
+            raise ValueError(f"metric {self.metric!r} needs a column")
+
+    def check_id(self) -> str:
+        inner = self.metric if self.col is None else f"{self.metric}:{self.col}"
+        return f"profile_outlier({inner})"
+
+    def description(self) -> str:
+        what = self.metric if self.col is None else f"{self.metric}({self.col})"
+        return (
+            f"per-partition {what} must be within {self.z_max} robust-z "
+            f"(MAD) of the cross-partition median"
+        )
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """All constraints for one table, plus its partition column.
 

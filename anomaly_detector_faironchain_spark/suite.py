@@ -32,6 +32,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     CardinalityBounds,
     ForeignKey,
     Freshness,
+    ProfileOutlier,
     InRange,
     InSet,
     NotNull,
@@ -1145,13 +1146,111 @@ SELECT COALESCE(CAST(p_brand AS VARCHAR), '__null__') AS partition_id,
 FROM part GROUP BY 1
 """
 
+def q_profile_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProfileOutlier constraint kernel: fleet-relative robust-z (MAD)
+    verdicts over the per-partition profile — the reference's whale
+    scoring (statistical_anomaly_detection.py:60-103) lifted from rows
+    to partitions. Nulls are injected into one priority so the
+    null_fraction check exercises the degenerate-MAD path (rest of the
+    fleet is exactly zero) while mean/row_count take the continuous rz
+    path. Zero extra scans: all three metrics read the ONE fused
+    profile; median/MAD reduce the 5-row profile frame."""
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.when(
+            (F.col("o_orderpriority") == "3-MEDIUM")
+            & (F.col("o_orderkey") % 97 == 0),
+            F.lit(None),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    spec = TableSpec(
+        name="orders",
+        partition_col="o_orderpriority",
+        constraints=(
+            ProfileOutlier("null_fraction", "price", z_max=3.5),
+            ProfileOutlier("mean", "price", z_max=3.5),
+            ProfileOutlier("row_count", z_max=3.5),
+        ),
+        profile_len_cols=(),
+    )
+    res = validate_table(
+        od, spec, materialize_violations=False, eager_warm=False
+    )
+    return res.verdicts.filter(
+        F.col("check_id").startswith("profile_outlier")
+    ).select(
+        "check_id",
+        "partition_id",
+        F.round("metric", 6).cast("double").alias("rz"),
+        "passed",
+    )
+
+
+ORACLE_PROFILE_OUTLIER = """
+WITH src AS (
+  SELECT o_orderpriority AS p,
+         CASE WHEN o_orderpriority = '3-MEDIUM' AND o_orderkey % 97 = 0
+              THEN NULL ELSE o_totalprice END AS price
+  FROM orders
+),
+prof AS (
+  SELECT p,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS nf,
+         AVG(price) AS mean_v
+  FROM src GROUP BY p
+),
+meds AS (
+  SELECT quantile_cont(nf, 0.5) AS med_nf,
+         quantile_cont(mean_v, 0.5) AS med_m,
+         quantile_cont(n_rows, 0.5) AS med_n
+  FROM prof
+),
+mads AS (
+  SELECT quantile_cont(ABS(nf - med_nf), 0.5) AS mad_nf,
+         quantile_cont(ABS(mean_v - med_m), 0.5) AS mad_m,
+         quantile_cont(ABS(n_rows - med_n), 0.5) AS mad_n
+  FROM prof, meds
+)
+SELECT 'profile_outlier(null_fraction:price)' AS check_id,
+       p AS partition_id,
+       ROUND(CASE WHEN mad_nf > 0 THEN ABS(nf - med_nf) / (1.4826 * mad_nf)
+                  WHEN nf = med_nf THEN 0.0 END, 6) AS rz,
+       CASE WHEN mad_nf > 0
+            THEN ABS(nf - med_nf) / (1.4826 * mad_nf) <= 3.5
+            ELSE nf = med_nf END AS passed
+FROM prof, meds, mads
+UNION ALL
+SELECT 'profile_outlier(mean:price)', p,
+       ROUND(CASE WHEN mad_m > 0 THEN ABS(mean_v - med_m) / (1.4826 * mad_m)
+                  WHEN mean_v = med_m THEN 0.0 END, 6),
+       CASE WHEN mad_m > 0
+            THEN ABS(mean_v - med_m) / (1.4826 * mad_m) <= 3.5
+            ELSE mean_v = med_m END
+FROM prof, meds, mads
+UNION ALL
+SELECT 'profile_outlier(row_count)', p,
+       ROUND(CASE WHEN mad_n > 0 THEN ABS(n_rows - med_n) / (1.4826 * mad_n)
+                  WHEN n_rows = med_n THEN 0.0 END, 6),
+       CASE WHEN mad_n > 0
+            THEN ABS(n_rows - med_n) / (1.4826 * mad_n) <= 3.5
+            ELSE n_rows = med_n END
+FROM prof, meds, mads
+"""
+
+
 QUERIES.update({
     "freshness": q_freshness,
     "cardinality_ratio": q_cardinality_ratio,
+    "profile_outlier": q_profile_outlier,
 })
 ORACLES.update({
     "freshness": ORACLE_FRESHNESS,
     "cardinality_ratio": ORACLE_CARDINALITY_RATIO,
+    "profile_outlier": ORACLE_PROFILE_OUTLIER,
 })
 
 
@@ -1173,7 +1272,7 @@ ORACLES.update({
 
 _DRIVER_PRIORITY = [
     # -- round-3 NEW constraints: never driver-checked -----------------------
-    "freshness", "cardinality_ratio",
+    "profile_outlier", "freshness", "cardinality_ratio",
     "monotonic_violations", "count_reconciliation", "benford_mad",
     "motif_fused",  # fused mutual+triangle+egonet kernel (EP2's new default)
     # -- 13 green-in-r1 but dropped by the r2 cap --------------------------

@@ -474,3 +474,87 @@ def test_cardinality_absolute_form(spark):
     # absolute form: empty partition's distinct count is 0, within [0, 4]
     assert verdicts["empty"] == (True, 0.0)
     res.unpersist()
+
+
+def test_profile_outlier_constraint(spark):
+    from anomaly_detector_faironchain_spark.plans import ProfileOutlier
+
+    # 5 partitions; 'whale' has a shifted mean and a doubled row count;
+    # 'leaky' has a raised null fraction against an otherwise-zero-null
+    # fleet (degenerate MAD: every deviation is an outlier)
+    rows = []
+    for g in ("a", "b", "c", "d"):
+        rows += [(g, float(v), "x") for v in (10, 11, 12, 13)]
+    rows += [("whale", 1000.0, "x")] * 8
+    rows += [("leaky", 11.0, None), ("leaky", 12.0, "x"),
+             ("leaky", 13.0, "x"), ("leaky", 10.0, "x")]
+    df = spark.createDataFrame(rows, "grp string, v double, s string")
+    tspec = TableSpec(
+        name="t",
+        partition_col="grp",
+        constraints=(
+            ProfileOutlier("mean", "v", z_max=3.5),
+            ProfileOutlier("null_fraction", "s", z_max=3.5),
+            ProfileOutlier("row_count", z_max=3.5),
+        ),
+        profile_len_cols=(),
+    )
+    res = validate_table(df, tspec)
+    out = {
+        (r["check_id"], r["partition_id"]): r["passed"]
+        for r in res.verdicts.filter(
+            F.col("check_id").startswith("profile_outlier")
+        ).collect()
+    }
+    assert out[("profile_outlier(mean:v)", "whale")] is False
+    assert out[("profile_outlier(mean:v)", "a")] is True
+    # degenerate fleet (median null_fraction = 0, MAD = 0): the one
+    # deviating partition fails, the exact-median ones pass
+    assert out[("profile_outlier(null_fraction:s)", "leaky")] is False
+    assert out[("profile_outlier(null_fraction:s)", "b")] is True
+    # row counts: 4,4,4,4,8 → MAD 0; only the doubled shard deviates
+    assert out[("profile_outlier(row_count)", "whale")] is False
+    assert out[("profile_outlier(row_count)", "c")] is True
+    res.unpersist()
+
+
+def test_profile_outlier_null_metric_fails_and_validates_args(spark):
+    import pytest as _pytest
+
+    from anomaly_detector_faironchain_spark.plans import ProfileOutlier
+
+    # all-null partition → mean is NULL → the profile cannot vouch for it
+    rows = [("a", 1.0), ("a", 2.0), ("b", 1.5), ("dead", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    tspec = TableSpec(
+        name="t",
+        partition_col="grp",
+        constraints=(ProfileOutlier("mean", "v", z_max=3.5),),
+        profile_len_cols=(),
+    )
+    res = validate_table(df, tspec)
+    out = {
+        r["partition_id"]: (r["passed"], r["metric"])
+        for r in res.verdicts.filter(
+            F.col("check_id").startswith("profile_outlier")
+        ).collect()
+    }
+    assert out["dead"][0] is False and out["dead"][1] is None
+    res.unpersist()
+    with _pytest.raises(ValueError):
+        ProfileOutlier("median")  # unknown metric
+    with _pytest.raises(ValueError):
+        ProfileOutlier("mean")  # missing column
+    with _pytest.raises(ValueError):
+        ProfileOutlier("row_count", "v")  # spurious column
+    with _pytest.raises(ValueError):
+        # non-numeric column has no mean__ in the profile
+        validate_table(
+            df,
+            TableSpec(
+                name="t",
+                partition_col="grp",
+                constraints=(ProfileOutlier("mean", "grp"),),
+                profile_len_cols=(),
+            ),
+        )
