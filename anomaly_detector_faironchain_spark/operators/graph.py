@@ -427,6 +427,7 @@ def fused_motif_features(
     edges: DataFrame,
     orientation: str = "id",
     broadcast_degrees: bool = True,
+    join_strategy: str = "shj",
 ) -> DataFrame:
     """Mutual-pair + directed-triangle + egonet features from ONE
     triangle enumeration — the EP2 fusion of mutual_pair_features,
@@ -563,6 +564,20 @@ def fused_motif_features(
         F.col("lo").alias("b"), F.col("hi").alias("c"),
         *[F.col(c).alias(f"{c}_bc") for c in attrs],
     )
+    # join_strategy="shj" (default): hint both the wedge self-join and the
+    # (b,c) close join to SHUFFLE_HASH. Sort-merge would SORT the wedge
+    # intermediate — Σ_a C(d₊,2) rows, the largest frame this kernel ever
+    # touches (≈25M rows on the 2M-edge bench corpus) — by (b,c) before
+    # closing; the hash build side is only |pairs|/shuffle-partitions rows
+    # per task regardless of corpus size, so the hint holds at 100×: the
+    # build side grows with the EDGE count while the avoided sort grows
+    # with the strictly larger WEDGE count. "smj" keeps Spark's default
+    # (the A/B control arm, tools/fused_ab.py).
+    if join_strategy == "shj":
+        p2 = p2.hint("shuffle_hash")
+        p3 = p3.hint("shuffle_hash")
+    elif join_strategy != "smj":
+        raise ValueError(f"unknown join_strategy: {join_strategy!r}")
     tri = (
         p1.join(p2, "a").filter(F.col("ord_b") < F.col("ord_c"))
         .join(p3, ["b", "c"])

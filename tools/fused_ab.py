@@ -49,7 +49,11 @@ def fused(edges):
     return graph.fused_motif_features(edges)
 
 
-ARMS = {"separate": separate, "fused": fused}
+def fused_smj(edges):
+    return graph.fused_motif_features(edges, join_strategy="smj")
+
+
+ARMS = {"separate": separate, "fused": fused, "fused_smj": fused_smj}
 
 CHECK_COLS = [
     "two_node_loop_count", "two_node_loop_amount", "two_node_loop_tx",
