@@ -156,9 +156,28 @@ def extract_account_features(
 
 
 def features_from_edges(
-    edges: DataFrame, materialize_parts: bool = False, fused: bool = True
+    edges: DataFrame,
+    materialize_parts: bool = False,
+    fused: bool = True,
+    vertex_dict: bool = True,
+    broadcast_dict_max: int = 5_000_000,
 ) -> DataFrame:
     """Feature join over a (cached) aggregated edgelist.
+
+    vertex_dict=True (default, fused path only): account_sid strings are
+    dictionary-encoded to int64 ids before the motif enumeration and
+    decoded on the final per-node frame. The wedge intermediate — the
+    largest frame EP2 ever shuffles — carries 3 node keys per row;
+    ~30-byte sids → 8-byte longs cuts its shuffle bytes ~3x and the
+    hash-join probes compare longs instead of strings (measured 1.39x on
+    the 2M-edge bench corpus, BENCH/fused_shj_ab_round3.json intids arm;
+    per-node outputs checksum-identical). Cost: one distinct over the
+    edge endpoints + two encode joins (broadcast while the dict is under
+    `broadcast_dict_max` rows; shuffle joins above — still a win at scale
+    because wedges strictly outnumber edges). The dict is pinned with
+    localCheckpoint BEFORE reuse: monotonically_increasing_id is
+    plan-layout-dependent, so a recomputed dict could mint different ids
+    per consumer branch — eviction must fail the job, not recompute.
 
     fused=True (default): mutual-pair, triangle and egonet features come
     from graph.fused_motif_features — ONE pair aggregation + ONE wedge
@@ -173,6 +192,25 @@ def features_from_edges(
     own sequential job before joining — useful for step-level debugging /
     retry granularity on flaky clusters; A/B-measured equal to the fused
     plan on the 2M-edge bench corpus (within host variance)."""
+    dic = None
+    if fused and not materialize_parts and vertex_dict:
+        nodes = edges.select(F.col("src").alias("node")).union(
+            edges.select(F.col("dst"))).distinct()
+        dic = nodes.withColumn(
+            "__nid__", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        n_nodes = dic.count()  # fetch over checkpointed blocks
+        side = (F.broadcast(dic) if n_nodes <= broadcast_dict_max else dic)
+        passthrough = [c for c in edges.columns if c not in ("src", "dst")]
+        edges = (
+            edges
+            .join(side.select(F.col("node").alias("src"),
+                              F.col("__nid__").alias("__s__")), "src")
+            .join(side.select(F.col("node").alias("dst"),
+                              F.col("__nid__").alias("__d__")), "dst")
+            .select(F.col("__s__").alias("src"),
+                    F.col("__d__").alias("dst"), *passthrough)
+        )
     nf = graph.node_features(edges)
     loops = graph.self_loop_flag(edges)
     if fused and not materialize_parts:
@@ -185,11 +223,19 @@ def features_from_edges(
             F.col("triangle_tx").alias("triangle_loop_tx_count"),
             F.col("ego_density").alias("egonet_density"),
         )
-        return (
+        out = (
             nf.join(motifs, "node", "left")
             .join(loops, "node", "left")
             .na.fill(0)
-            .withColumnRenamed("node", "account_sid")
+        )
+        if dic is not None:
+            out = (
+                out.withColumnRenamed("node", "__nid__")
+                .join(side, "__nid__")
+                .drop("__nid__")
+            )
+        return (
+            out.withColumnRenamed("node", "account_sid")
             .withColumn(
                 "address", F.substring_index(F.col("account_sid"), "_", -1))
         )

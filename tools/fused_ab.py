@@ -53,7 +53,40 @@ def fused_smj(edges):
     return graph.fused_motif_features(edges, join_strategy="smj")
 
 
-ARMS = {"separate": separate, "fused": fused, "fused_smj": fused_smj}
+_DICT_CACHE = []  # pinned dict frames, released by main() at exit
+
+
+def fused_intids(edges):
+    """Vertex-dictionary arm: encode string sids to int64 ids, run the
+    fused kernel over the int edgelist (3 join keys drop ~30B→8B through
+    the wedge shuffle, hash probes compare longs), decode per-node output.
+    The dict MUST be materialized before reuse (monotonically_increasing_id
+    is plan-layout-dependent — recomputation could mint different ids per
+    branch)."""
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst"))).distinct()
+    dic = nodes.withColumn("nid", F.monotonically_increasing_id()).cache()
+    dic.count()
+    _DICT_CACHE.append(dic)
+    enc = (
+        edges
+        .join(F.broadcast(dic.select(F.col("node").alias("src"),
+                                     F.col("nid").alias("__si__"))), "src")
+        .join(F.broadcast(dic.select(F.col("node").alias("dst"),
+                                     F.col("nid").alias("__di__"))), "dst")
+        .select(F.col("__si__").alias("src"), F.col("__di__").alias("dst"),
+                "amount", "cnt")
+    )
+    out = graph.fused_motif_features(enc)
+    return (
+        out.withColumnRenamed("node", "nid")
+        .join(F.broadcast(dic), "nid")
+        .drop("nid")
+    )
+
+
+ARMS = {"separate": separate, "fused": fused, "fused_smj": fused_smj,
+        "fused_intids": fused_intids}
 
 CHECK_COLS = [
     "two_node_loop_count", "two_node_loop_amount", "two_node_loop_tx",
@@ -106,6 +139,8 @@ def main() -> None:
         edges = skewed_edges(spark).cache()
         out["skewed_corpus"] = {"n_edges": edges.count(), **run_arm(edges, reps)}
         edges.unpersist()
+    for d in _DICT_CACHE:
+        d.unpersist()
     out["canary_post_mips"] = cpu_canary(cpus)
     print(json.dumps(out, default=str))
 
