@@ -390,9 +390,16 @@ def fused_threshold_and_z_stats(
     return thresholds, zstats
 
 
-def score(df: DataFrame, score_cols: list[str]) -> DataFrame:
+def score(
+    df: DataFrame, score_cols: list[str], ranks_precomputed: bool = False
+) -> DataFrame:
     """K5: rule score (0-3 → 0-100), Hazen percentiles, final mean,
-    top-percent display (scoring.py:24-105)."""
+    top-percent display (scoring.py:24-105).
+
+    ranks_precomputed=True skips the internal Mahalanobis Hazen pass —
+    the caller already produced mahalanobis_distance_stats_score_100
+    (run_anomaly_analysis fuses it with the iforest rank into one
+    boundary scan via hazen_percentile_agg_multi)."""
     df = df.withColumn(
         "rule_score_raw",
         (F.greatest(*[F.col(f"H{i}_flag") for i in range(1, 5)])
@@ -401,9 +408,10 @@ def score(df: DataFrame, score_cols: list[str]) -> DataFrame:
         "rule_score_100",
         F.round(F.col("rule_score_raw") * (100.0 / 3.0), 2).cast("float"),
     )
-    df = scoring.hazen_percentile_agg(
-        df, "mahalanobis_distance", "mahalanobis_distance_stats_score_100"
-    )
+    if not ranks_precomputed:
+        df = scoring.hazen_percentile_agg(
+            df, "mahalanobis_distance", "mahalanobis_distance_stats_score_100"
+        )
     components = ["rule_score_100", "mahalanobis_distance_stats_score_100"] + score_cols
     mean_expr = sum((F.col(c) for c in components[1:]), F.col(components[0]))
     df = df.withColumn(
@@ -521,11 +529,12 @@ def run_anomaly_analysis(
         # ~3^3 times; after this checkpoint every branch reads the
         # materialized rows
         work = work.localCheckpoint(eager=True)
+    rank_specs = [("mahalanobis_distance",
+                   "mahalanobis_distance_stats_score_100")]
     if extra_scores:
-        work = scoring.hazen_percentile_agg(
-            work, "iforest_score", "iforest_stats_score_100"
-        )
-    work = score(work, extra_scores)
+        rank_specs.append(("iforest_score", "iforest_stats_score_100"))
+    work = scoring.hazen_percentile_agg_multi(work, rank_specs)
+    work = score(work, extra_scores, ranks_precomputed=True)
 
     drop = [c for c in work.columns
             if c.endswith("_log") or c.endswith("_z") or c.endswith("_ratio")]

@@ -156,9 +156,37 @@ def hazen_percentile(
     )
 
 
+def rank_boundaries(df: DataFrame, cols: list[str]) -> dict[str, list[float]]:
+    """Bucket boundaries for distributed_avg_rank over SEVERAL columns in
+    ONE percentile_approx pass — each rank call otherwise pays its own
+    full-table boundary scan, so ranking k independent score columns
+    (EP2: Mahalanobis + iforest) costs k scans instead of one.
+    percentile_approx ignores NULLs, matching the per-column
+    isNotNull-filtered single-column job."""
+    spark = df.sparkSession
+    try:
+        p = max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 1)
+    except (TypeError, ValueError):
+        p = 200
+    if p <= 1 or not cols:
+        return {c: [] for c in cols}
+    row = df.agg(*[
+        F.percentile_approx(
+            c, F.array(*[F.lit(i / p) for i in range(1, p)]), F.lit(10_000)
+        ).alias(f"__b_{i}__")
+        for i, c in enumerate(cols)
+    ]).collect()[0]
+    return {
+        c: sorted({float(b) for b in (row[f"__b_{i}__"] or [])
+                   if b is not None})
+        for i, c in enumerate(cols)
+    }
+
+
 def distributed_avg_rank(
     df: DataFrame, col: str, ascending: bool = True,
     out_col: str = "__avg_rank__", n_col: str = "__n__",
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Fully distributed pandas-style average rank (ties share the mean of
     their competition ranks) — the kernel under Hazen percentiles and
@@ -200,16 +228,8 @@ def distributed_avg_rank(
         p = 200
 
     nn = df.filter(F.col(col).isNotNull())
-    if p > 1:
-        row = nn.agg(
-            F.percentile_approx(
-                col, F.array(*[F.lit(i / p) for i in range(1, p)]),
-                F.lit(10_000),
-            ).alias("b")
-        ).collect()[0]
-        bounds = sorted({float(b) for b in (row.b or []) if b is not None})
-    else:
-        bounds = []
+    if bounds is None:
+        bounds = rank_boundaries(df, [col])[col] if p > 1 else []
     if bounds:
         # plain sum of comparisons (not a higher-order filter-lambda:
         # Catalyst 4.1 miscompiles the captured column reference once the
@@ -269,6 +289,26 @@ def hazen_percentile_agg(
         out_col,
         ((F.col("__avg_rank__") - 0.5) / F.col("__n__") * 100.0).cast("float"),
     ).drop("__avg_rank__", "__n__")
+
+
+def hazen_percentile_agg_multi(
+    df: DataFrame, specs: list[tuple[str, str]], ascending: bool = True
+) -> DataFrame:
+    """Hazen percentiles for several independent columns with ONE shared
+    boundary scan (rank_boundaries): `specs` is [(col, out_col), ...].
+    The per-column bucket/rank/offset layers stay lazy and fold into the
+    same downstream plan, so k columns cost one boundary pass + k window
+    exchanges instead of k full passes + k exchanges."""
+    bmap = rank_boundaries(df, [c for c, _ in specs])
+    out = df
+    for col, out_col in specs:
+        out = distributed_avg_rank(out, col, ascending, bounds=bmap[col])
+        out = out.withColumn(
+            out_col,
+            ((F.col("__avg_rank__") - 0.5) / F.col("__n__") * 100.0)
+            .cast("float"),
+        ).drop("__avg_rank__", "__n__")
+    return out
 
 
 @dataclass(frozen=True)
