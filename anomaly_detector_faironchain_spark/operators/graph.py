@@ -547,15 +547,20 @@ def fused_motif_features(
             *attrs,
         )
     elif orientation == "id":
-        oriented = pairs.select("lo", "hi", F.col("hi").alias("ord_hi"), *attrs)
+        # under id order the pivot rank IS the node id — ord_hi would
+        # duplicate hi through every wedge row (16 bytes/row with the
+        # vertex dictionary), so the legs skip it and the wedge filter
+        # compares b < c directly
+        oriented = pairs.select("lo", "hi", *attrs)
     else:
         raise ValueError(f"unknown orientation: {orientation!r}")
 
     def _leg(a_name: str, b_name: str, tag: str) -> DataFrame:
+        cols = [F.col("lo").alias(a_name), F.col("hi").alias(b_name)]
+        if orientation != "id":
+            cols.append(F.col("ord_hi").alias(f"ord_{b_name}"))
         return oriented.select(
-            F.col("lo").alias(a_name), F.col("hi").alias(b_name),
-            F.col("ord_hi").alias(f"ord_{b_name}"),
-            *[F.col(c).alias(f"{c}_{tag}") for c in attrs],
+            *cols, *[F.col(c).alias(f"{c}_{tag}") for c in attrs],
         )
 
     p1 = _leg("a", "b", "ab")
@@ -578,8 +583,12 @@ def fused_motif_features(
         p3 = p3.hint("shuffle_hash")
     elif join_strategy != "smj":
         raise ValueError(f"unknown join_strategy: {join_strategy!r}")
+    wedge_ord = (
+        F.col("b") < F.col("c") if orientation == "id"
+        else F.col("ord_b") < F.col("ord_c")
+    )
     tri = (
-        p1.join(p2, "a").filter(F.col("ord_b") < F.col("ord_c"))
+        p1.join(p2, "a").filter(wedge_ord)
         .join(p3, ["b", "c"])
     )
 
