@@ -34,6 +34,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     Freshness,
     MonotonicPerKey,
     ProfileOutlier,
+    SchemaMatch,
     TableSpec,
     Unique,
 )
@@ -292,6 +293,68 @@ def validate_table(
     cached_frames: list[DataFrame] = [profile]
     if row_viol is not None:
         cached_frames.append(row_viol)
+
+    # Pass 0 (metadata-only): schema contracts. Verdicts derive from
+    # df.schema — the Catalyst schema known from the parquet footer /
+    # catalog before any job runs — so a spec holding ONLY SchemaMatch
+    # constraints launches ZERO Spark jobs on the data (the fused
+    # profile above is lazy and stays unexecuted unless something else
+    # consumes it). Declared DDL strings normalize through Spark's own
+    # type parser, so 'long' == 'bigint' and nested types compare
+    # structurally. partition_id is '__schema__': the schema is a table
+    # property, not a per-partition one.
+    sm_list = spec.by_type(SchemaMatch)
+    if sm_list:
+        import json as _json
+
+        from pyspark.sql.types import DataType
+
+        actual_types = {f.name: f.dataType for f in df.schema.fields}
+        sm_verdict_rows = []
+        sm_viol_rows = []
+        for sm in sm_list:
+            declared = {n for n, _ in sm.expected}
+            mismatches: list[tuple[str, str | None, str | None]] = []
+            for name, ddl in sm.expected:
+                want = DataType.fromDDL(ddl)
+                got = actual_types.get(name)
+                if got is None:
+                    mismatches.append((name, want.simpleString(), None))
+                elif got != want:
+                    mismatches.append(
+                        (name, want.simpleString(), got.simpleString())
+                    )
+            if not sm.allow_extra:
+                for name in df.schema.names:
+                    if name not in declared:
+                        mismatches.append(
+                            (name, None, actual_types[name].simpleString())
+                        )
+            n_bad = len(mismatches)
+            sm_verdict_rows.append((
+                spec.name, "__schema__", sm.check_id(), n_bad == 0,
+                float(n_bad), 0.0, n_bad, sm.description(),
+            ))
+            for name, want_s, got_s in mismatches:
+                sm_viol_rows.append((
+                    spec.name, "__schema__", sm.check_id(), sm.description(),
+                    _json.dumps(
+                        {"column": name, "expected": want_s, "actual": got_s},
+                        sort_keys=True,
+                    ),
+                ))
+        verdict_parts.append(spark.createDataFrame(
+            sm_verdict_rows,
+            "table string, partition_id string, check_id string, "
+            "passed boolean, metric double, threshold double, "
+            "n_violations long, description string",
+        ))
+        if materialize_violations and sm_viol_rows:
+            violation_parts.append(spark.createDataFrame(
+                sm_viol_rows,
+                "table string, partition_id string, check_id string, "
+                "description string, row_payload string",
+            ))
 
     # Declare the OTHER independent full-input scans up front — FK
     # anti-joins (pass 3) and drift histograms (pass 4) — persisting their

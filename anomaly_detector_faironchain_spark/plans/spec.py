@@ -590,6 +590,43 @@ class ProfileOutlier(Constraint):
 
 
 @dataclass(frozen=True)
+class SchemaMatch(Constraint):
+    """Declared (column → Spark SQL type) contract on the input schema.
+
+    Every declared column must exist with the declared type (DDL type
+    strings — 'string', 'bigint', 'array<float>', …; synonyms like
+    'long'/'bigint' normalize through Spark's own type parser). With
+    allow_extra=False, undeclared columns are violations too — the
+    schema-EVOLUTION tripwire for an Iceberg table whose writers add
+    fields without telling the validation contract.
+
+    Metadata-only: verdicts derive from df.schema, so the check performs
+    ZERO data scans and costs the same at 10^12 rows as at 10^2 (the
+    Catalyst schema is known before any job runs). The verdict row uses
+    partition_id='__schema__' — schema is a table property, not a
+    partition one (reference analogue: the unified-schema contract the
+    detector assumes, etl/run_preprocessing.py:6-10)."""
+
+    expected: tuple[tuple[str, str], ...]
+    allow_extra: bool = True
+
+    def __init__(self, *expected: tuple[str, str], allow_extra: bool = True):
+        object.__setattr__(self, "expected", tuple(
+            (str(n), str(t)) for n, t in expected))
+        object.__setattr__(self, "allow_extra", bool(allow_extra))
+
+    def check_id(self) -> str:
+        return f"schema_match({','.join(n for n, _ in self.expected)})"
+
+    def description(self) -> str:
+        extra = "" if self.allow_extra else "; no undeclared columns"
+        return (
+            "schema must carry "
+            + ", ".join(f"{n}:{t}" for n, t in self.expected) + extra
+        )
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """All constraints for one table, plus its partition column.
 

@@ -38,6 +38,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     NotNull,
     Regex,
     RowCheck,
+    SchemaMatch,
     TableSpec,
     Unique,
 )
@@ -1254,6 +1255,110 @@ ORACLES.update({
 })
 
 
+def q_schema_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SchemaMatch constraint kernel: declared column→type contracts
+    checked against the Catalyst schema — the schema-evolution tripwire
+    for tables whose writers add or retype fields without updating the
+    validation contract (reference analogue: the unified schema the
+    detector assumes after preprocessing, etl/run_preprocessing.py:6-10).
+
+    Metadata-only: verdicts derive from df.schema (parquet footer /
+    catalog), so the three contracts below launch ZERO Spark jobs over
+    lineitem rows — the check costs the same at 10^12 rows as at 10^2.
+    Three contracts exercise the three verdict paths: the exact full
+    contract (pass, incl. the 'long'≡'bigint' DDL-synonym normalization),
+    a drifted contract (wrong type + missing column), and a closed
+    subset contract (undeclared columns counted as violations). The
+    DuckDB oracle re-derives all three from DESCRIBE — a genuine
+    cross-engine schema-introspection comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    spec = TableSpec(
+        name="lineitem",
+        constraints=(
+            # full contract, closed — passes ('long' normalizes to bigint)
+            SchemaMatch(
+                ("l_orderkey", "long"), ("l_partkey", "bigint"),
+                ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+                ("l_quantity", "double"), ("l_extendedprice", "double"),
+                ("l_discount", "double"), ("l_tax", "double"),
+                ("l_returnflag", "string"), ("l_linestatus", "string"),
+                ("l_shipdate", "timestamp_ntz"),
+                allow_extra=False,
+            ),
+            # drifted contract: wrong type + column absent from the table
+            SchemaMatch(
+                ("l_quantity", "decimal(12,2)"), ("l_comment", "string"),
+            ),
+            # closed subset: the 9 undeclared columns are violations
+            SchemaMatch(
+                ("l_orderkey", "bigint"), ("l_returnflag", "string"),
+                allow_extra=False,
+            ),
+        ),
+    )
+    res = validate_table(
+        li, spec, materialize_violations=False, eager_warm=False
+    )
+    return res.verdicts.filter(
+        F.col("check_id").startswith("schema_match")
+    ).select("check_id", "passed", "n_violations")
+
+
+ORACLE_SCHEMA_MATCH = """
+WITH actual AS (
+  SELECT column_name AS name,
+         CASE column_type
+           WHEN 'BIGINT' THEN 'bigint'
+           WHEN 'INTEGER' THEN 'int'
+           WHEN 'DOUBLE' THEN 'double'
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+           ELSE lower(column_type) END AS typ
+  FROM (DESCRIBE lineitem)
+),
+full_contract(name, typ) AS (VALUES
+  ('l_orderkey','bigint'),('l_partkey','bigint'),('l_suppkey','bigint'),
+  ('l_linenumber','int'),('l_quantity','double'),('l_extendedprice','double'),
+  ('l_discount','double'),('l_tax','double'),('l_returnflag','string'),
+  ('l_linestatus','string'),('l_shipdate','timestamp_ntz')
+),
+drift_contract(name, typ) AS (VALUES
+  ('l_quantity','decimal(12,2)'),('l_comment','string')
+),
+sub_contract(name, typ) AS (VALUES
+  ('l_orderkey','bigint'),('l_returnflag','string')
+),
+v1 AS (
+  SELECT COUNT(*) FILTER (WHERE a.name IS NULL OR a.typ <> d.typ)
+       + (SELECT COUNT(*) FROM actual
+          WHERE name NOT IN (SELECT name FROM full_contract)) AS n
+  FROM full_contract d LEFT JOIN actual a ON a.name = d.name
+),
+v2 AS (
+  SELECT COUNT(*) FILTER (WHERE a.name IS NULL OR a.typ <> d.typ) AS n
+  FROM drift_contract d LEFT JOIN actual a ON a.name = d.name
+),
+v3 AS (
+  SELECT COUNT(*) FILTER (WHERE a.name IS NULL OR a.typ <> d.typ)
+       + (SELECT COUNT(*) FROM actual
+          WHERE name NOT IN (SELECT name FROM sub_contract)) AS n
+  FROM sub_contract d LEFT JOIN actual a ON a.name = d.name
+)
+SELECT 'schema_match(l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity,'
+       || 'l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,'
+       || 'l_shipdate' || ')' AS check_id,
+       n = 0 AS passed, CAST(n AS BIGINT) AS n_violations FROM v1
+UNION ALL
+SELECT 'schema_match(l_quantity,l_comment)', n = 0, CAST(n AS BIGINT) FROM v2
+UNION ALL
+SELECT 'schema_match(l_orderkey,l_returnflag)', n = 0, CAST(n AS BIGINT) FROM v3
+"""
+
+
+QUERIES.update({"schema_match": q_schema_match})
+ORACLES.update({"schema_match": ORACLE_SCHEMA_MATCH})
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry order.
 #
@@ -1272,6 +1377,7 @@ ORACLES.update({
 
 _DRIVER_PRIORITY = [
     # -- round-3 NEW constraints: never driver-checked -----------------------
+    "schema_match",
     "profile_outlier", "freshness", "cardinality_ratio",
     "monotonic_violations", "count_reconciliation", "benford_mad",
     "motif_fused",  # fused mutual+triangle+egonet kernel (EP2's new default)

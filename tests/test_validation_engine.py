@@ -558,3 +558,72 @@ def test_profile_outlier_null_metric_fails_and_validates_args(spark):
                 profile_len_cols=(),
             ),
         )
+
+
+def test_schema_match_constraint(spark):
+    import json
+
+    from anomaly_detector_faironchain_spark.plans import SchemaMatch
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0])], "id long, name string, vec array<double>"
+    )
+    tspec = TableSpec(
+        name="t",
+        constraints=(
+            # exact contract incl. DDL synonyms ('long'≡'bigint') and a
+            # structural nested-type comparison
+            SchemaMatch(
+                ("id", "bigint"), ("name", "string"),
+                ("vec", "array<double>"), allow_extra=False,
+            ),
+            # wrong nested element type + missing column
+            SchemaMatch(("vec", "array<float>"), ("ghost", "int")),
+            # closed subset: name and vec are undeclared extras
+            SchemaMatch(("id", "long"), allow_extra=False),
+        ),
+        profile_len_cols=(),
+    )
+    res = validate_table(df, tspec)
+    out = {
+        r["check_id"]: (r["passed"], r["n_violations"], r["partition_id"])
+        for r in res.verdicts.filter(
+            F.col("check_id").startswith("schema_match")
+        ).collect()
+    }
+    assert out["schema_match(id,name,vec)"] == (True, 0, "__schema__")
+    assert out["schema_match(vec,ghost)"] == (False, 2, "__schema__")
+    assert out["schema_match(id)"] == (False, 2, "__schema__")
+    # violation payloads name the offending column and both types
+    viol = {
+        json.loads(r["row_payload"])["column"]: json.loads(r["row_payload"])
+        for r in res.violations.filter(
+            F.col("check_id") == "schema_match(vec,ghost)"
+        ).collect()
+    }
+    assert viol["vec"]["expected"] == "array<float>"
+    assert viol["vec"]["actual"] == "array<double>"
+    assert viol["ghost"]["actual"] is None
+    res.unpersist()
+
+
+def test_schema_match_only_spec_runs_zero_data_jobs(spark):
+    """A spec holding ONLY SchemaMatch constraints must not scan the
+    data: verdicts derive from df.schema, so collecting them launches no
+    job that reads the input rows (the verdict plan is a local scan)."""
+    from anomaly_detector_faironchain_spark.plans import SchemaMatch
+
+    df = spark.range(10).selectExpr("id", "cast(id as string) as s")
+    tspec = TableSpec(
+        name="t",
+        constraints=(SchemaMatch(("id", "bigint"), ("s", "string")),),
+        profile_len_cols=(),
+    )
+    res = validate_table(
+        df, tspec, materialize_violations=False, eager_warm=False
+    )
+    plan = res.verdicts._jdf.queryExecution().executedPlan().toString()
+    assert ("LocalTableScan" in plan or "ExistingRDD" in plan)
+    assert "Range" not in plan
+    rows = res.verdicts.collect()
+    assert len(rows) == 1 and rows[0]["passed"] is True
