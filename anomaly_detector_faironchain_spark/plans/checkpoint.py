@@ -147,6 +147,37 @@ def load_drift_references(
     }
 
 
+SCHEMA_DIR = "schema_refs"
+
+
+def write_schema_reference(df: DataFrame, out_dir: str, run_id: str) -> None:
+    """Persist the input's Catalyst schema under the checkpoint dir so the
+    NEXT run can diff against it (the schema analogue of the drift-
+    reference loop). One small JSON per run — column names + DDL types."""
+    sdir = Path(out_dir) / SCHEMA_DIR
+    sdir.mkdir(parents=True, exist_ok=True)
+    (sdir / f"{run_id}.json").write_text(json.dumps({
+        "fields": [
+            [f.name, f.dataType.simpleString()] for f in df.schema.fields
+        ],
+        "engine_version": __version__,
+        "written_unix": time.time(),
+    }, indent=1))
+
+
+def load_schema_reference(out_dir: str) -> list[tuple[str, str]] | None:
+    """Latest persisted schema (run_ids sort lexicographically), or None
+    on a fresh checkpoint dir."""
+    sdir = Path(out_dir) / SCHEMA_DIR
+    if not sdir.is_dir():
+        return None
+    files = sorted(sdir.glob("*.json"))
+    if not files:
+        return None
+    ref = json.loads(files[-1].read_text())
+    return [(n, t) for n, t in ref["fields"]]
+
+
 def completed_partitions(out_dir: str) -> set[str]:
     mdir = Path(out_dir) / MANIFEST_DIR
     done = set()
@@ -210,6 +241,7 @@ def run_with_checkpoint(
     drift_refs: dict[str, DataFrame] | None = None,
     input_path: str | None = None,
     run_id: str | None = None,
+    track_schema: bool = True,
     **validate_kwargs,
 ) -> ValidationResult | None:
     """Validate only partitions not yet marked complete under out_dir;
@@ -226,10 +258,21 @@ def run_with_checkpoint(
     persisted under ``run_id`` (default: zero-padded unix time —
     lexicographically sortable).
 
+    Schema lineage closes the same loop (track_schema=True): each run
+    persists the input's Catalyst schema and diffs against the previous
+    run's — a metadata-only ``schema_drift`` verdict (partition_id
+    '__schema__') that trips when a writer adds, drops, or retypes a
+    column between batches, with per-column violation payloads. The
+    first run self-baselines (passes) exactly like drift. Batch-over-
+    batch semantics: a drifted schema fails ONCE, then becomes the new
+    reference.
+
     Returns None if everything was already complete (nothing scanned).
     """
+    import dataclasses
+
     from anomaly_detector_faironchain_spark.operators import drift as drift_ops
-    from anomaly_detector_faironchain_spark.plans.spec import Drift
+    from anomaly_detector_faironchain_spark.plans.spec import Drift, SchemaMatch
 
     t0 = time.time()
     done = completed_partitions(out_dir)
@@ -263,6 +306,16 @@ def run_with_checkpoint(
                     )
                 )
 
+    if track_schema:
+        ref_fields = load_schema_reference(out_dir)
+        if ref_fields is None:  # first run: self-baseline, like drift
+            ref_fields = [
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ]
+        spec = dataclasses.replace(spec, constraints=spec.constraints + (
+            SchemaMatch(*ref_fields, allow_extra=False, label="schema_drift"),
+        ))
+
     result = validate_table(scoped, spec, refs=refs, drift_refs=drift_refs,
                             **validate_kwargs)
 
@@ -280,6 +333,10 @@ def run_with_checkpoint(
     if result.drift_histograms:
         write_drift_references(
             result, out_dir, run_id or f"{int(time.time()):012d}", spec=spec
+        )
+    if track_schema:
+        write_schema_reference(
+            df, out_dir, run_id or f"{int(time.time()):012d}"
         )
     _write_manifests(out_dir, spec, result, time.time() - t0, input_path)
     return result

@@ -609,13 +609,18 @@ class SchemaMatch(Constraint):
 
     expected: tuple[tuple[str, str], ...]
     allow_extra: bool = True
+    label: str | None = None
 
-    def __init__(self, *expected: tuple[str, str], allow_extra: bool = True):
+    def __init__(self, *expected: tuple[str, str], allow_extra: bool = True,
+                 label: str | None = None):
         object.__setattr__(self, "expected", tuple(
             (str(n), str(t)) for n, t in expected))
         object.__setattr__(self, "allow_extra", bool(allow_extra))
+        object.__setattr__(self, "label", label)
 
     def check_id(self) -> str:
+        if self.label:
+            return self.label
         return f"schema_match({','.join(n for n, _ in self.expected)})"
 
     def description(self) -> str:

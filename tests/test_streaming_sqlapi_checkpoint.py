@@ -352,3 +352,62 @@ def test_cross_run_dedup_through_checkpoint(spark, tmp_path):
     f3 = {r.id: (r.is_cross_run_dup, r.first_seen_run)
           for r in dedup_against_history(b3, "doc_id", "text", out, "r3").collect()}
     assert f3 == {20: (True, "r2"), 21: (True, "r1"), 22: (False, None)}
+
+
+def test_schema_lineage_loop_through_checkpoint(spark, tmp_path):
+    """Schema lineage mirrors the drift-reference loop: run N's schema is
+    diffed against run N-1's persisted schema; a drifted schema fails
+    once (with per-column payloads) and becomes the new baseline."""
+    out = str(tmp_path / "ckpt")
+    spec = TableSpec(
+        name="t", partition_col="grp",
+        constraints=(NotNull("grp"),), profile_len_cols=(),
+    )
+
+    def sd_row(res):
+        rows = [
+            r for r in res.verdicts.collect() if r.check_id == "schema_drift"
+        ]
+        assert len(rows) == 1 and rows[0].partition_id == "__schema__"
+        return rows[0]
+
+    b1 = spark.createDataFrame([("p1", 1.0)], "grp string, v double")
+    r1 = run_with_checkpoint(b1, spec, out, run_id="000000000001")
+    assert sd_row(r1).passed  # first run self-baselines, like drift
+
+    # batch 2 (new partition): v retyped double→string, extra column added
+    b2 = spark.createDataFrame(
+        [("p2", "oops", 5)], "grp string, v string, extra long"
+    )
+    r2 = run_with_checkpoint(b2, spec, out, run_id="000000000002")
+    sd2 = sd_row(r2)
+    assert sd2.passed is False and sd2.n_violations == 2
+    payloads = [
+        json.loads(r.row_payload)
+        for r in r2.violations.filter(
+            F.col("check_id") == "schema_drift"
+        ).collect()
+    ]
+    by_col = {p["column"]: p for p in payloads}
+    assert by_col["v"] == {
+        "actual": "string", "column": "v", "expected": "double"
+    }
+    assert by_col["extra"]["expected"] is None
+
+    # batch 3, same drifted shape: the drifted schema IS the baseline now
+    b3 = spark.createDataFrame(
+        [("p3", "ok", 6)], "grp string, v string, extra long"
+    )
+    r3 = run_with_checkpoint(b3, spec, out, run_id="000000000003")
+    assert sd_row(r3).passed
+
+    # opt-out: no schema verdict, no new reference written
+    b4 = spark.createDataFrame([("p4", 9)], "grp string, other int")
+    r4 = run_with_checkpoint(
+        b4, spec, out, run_id="000000000004", track_schema=False
+    )
+    assert all(r.check_id != "schema_drift" for r in r4.verdicts.collect())
+    refs = sorted((Path(out) / "schema_refs").glob("*.json"))
+    assert [f.stem for f in refs] == [
+        "000000000001", "000000000002", "000000000003"
+    ]
