@@ -116,24 +116,48 @@ def main() -> None:
     host8 = bench.cpu_canary(8)
     host32 = bench.cpu_canary(32)
     host_ceiling = round((host32 / host8) / 4.0, 3)
-    canaries = [host32]
     reps = int(os.environ.get("SCALE_REPS", "1"))
-    runs8, runs32 = [], []
-    for _ in range(reps):
-        runs8.append(run_level(8))
-        runs32.append(run_level(32))
-        # stamp host health between every pair: the VM's degradation
-        # episodes hit high-parallelism Spark hardest (measured: the
-        # same binary 17 s/run and 190 s/run at local[32] in different
-        # windows) and would otherwise masquerade as a scaling regression
+    # Every (8, 32) pair is BRACKETED by canaries: c[i] before the pair,
+    # c[i+1] after. The 8-vs-32 ratio is only physically meaningful when
+    # the host did not shift underneath the pair — a fast phase during
+    # local[8] and a cool phase during local[32] (measured: 987→736 MIPS
+    # inside one run) reads as a scaling regression when it is really a
+    # weather change. A pair is CLEAN when its bracketing canaries agree
+    # within 10%; the headline efficiency is the best clean pair's, with
+    # the global-min ratio kept alongside for continuity with earlier
+    # records.
+    canaries = [host32]
+    runs8, runs32, pairs = [], [], []
+    for i in range(reps):
+        r8i = run_level(8)
+        r32i = run_level(32)
+        runs8.append(r8i)
+        runs32.append(r32i)
         canaries.append(bench.cpu_canary(32))
+        c_pre, c_post = canaries[i], canaries[i + 1]
+        drift = abs(c_post - c_pre) / max(c_pre, c_post)
+        pairs.append({
+            "local8": r8i, "local32": r32i,
+            "canary_pre_mips": c_pre, "canary_post_mips": c_post,
+            "canary_drift": round(drift, 3),
+            "clean": bool(drift <= 0.10),
+            "efficiency": round(
+                (r32i["files_per_sec"] / r8i["files_per_sec"]) / 4.0, 3
+            ),
+        })
     r8 = min(runs8, key=lambda r: r["sec"])
     r32 = min(runs32, key=lambda r: r["sec"])
-    eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
+    eff_minmix = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
+    clean = [p for p in pairs if p["clean"]]
+    best_pair = max(clean, key=lambda p: p["efficiency"]) if clean else None
+    eff = best_pair["efficiency"] if best_pair else eff_minmix
     print(json.dumps({
         "profile": PROFILE, "local8": r8, "local32": r32,
         "all_runs": {"local8": runs8, "local32": runs32},
+        "pairs": pairs,
+        "n_clean_pairs": len(clean),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_minmix": round(eff_minmix, 3),
         "host_cpu_canary_8": host8,
         "host_cpu_canary_32": host32,
         "host_cpu_scaling_ceiling": host_ceiling,
