@@ -282,7 +282,9 @@ def test_drift_reference_loop_through_checkpoint(spark, tmp_path):
         "1 as batch", "cast(id % 100 as double) as x"
     )
     r1 = run_with_checkpoint(b1, spec, out)
-    v1 = r1.verdicts.collect()
+    v1 = [
+        r for r in r1.verdicts.collect() if r.check_id.startswith("drift")
+    ]
     assert len(v1) == 1 and v1[0].passed  # self-baseline: psi ~ 0
     assert v1[0].metric < 1e-6
 
@@ -290,7 +292,10 @@ def test_drift_reference_loop_through_checkpoint(spark, tmp_path):
         "2 as batch", "cast(100 + id % 100 as double) as x"
     )
     r2 = run_with_checkpoint(b1.unionAll(shifted), spec, out)
-    v2 = {r.partition_id: r for r in r2.verdicts.collect()}
+    v2 = {
+        r.partition_id: r for r in r2.verdicts.collect()
+        if r.check_id.startswith("drift")
+    }
     assert set(v2) == {"2"}  # batch 1 already complete, pruned
     assert not v2["2"].passed  # disjoint distribution vs run-1 snapshot
     assert v2["2"].metric > 1.0
@@ -316,7 +321,7 @@ def test_drift_reference_refuses_changed_binning(spark, tmp_path):
         run_with_checkpoint(b1.unionAll(b2), mk(200.0), out)
     # unchanged binning still works and passes (same distribution)
     r = run_with_checkpoint(b1.unionAll(b2), mk(100.0), out)
-    v = r.verdicts.collect()
+    v = [r_ for r_ in r.verdicts.collect() if r_.check_id.startswith("drift")]
     assert len(v) == 1 and v[0].passed
 
 
