@@ -216,6 +216,82 @@ def profile_table(
     )
 
 
+def kll_partition_sketches(
+    df: DataFrame,
+    value_col,
+    partition_col: str,
+    k: int = 8192,
+) -> DataFrame:
+    """Per-partition MERGEABLE KLL quantile sketches of a numeric column
+    — the resumable / incremental form of the length-quantile profile
+    (north-rule: "length quantiles via KLL/t-digest sketches").
+
+    ``percentile_approx`` inside the fused profile pass yields NUMBERS
+    per partition; numbers from two runs cannot be combined (quantiles
+    don't add). This returns the Datasketches KLL BINARY itself
+    (``kll_sketch_agg_bigint``), so corpus-level quantiles are the
+    ``kll_merge_agg_bigint`` of every partition's sketch — including
+    sketches persisted by EARLIER runs. At 10^12 rows that means:
+    sketch only new partitions, merge ~KB-sized sketches for the global
+    length distribution, never rescan completed data. See
+    plans/checkpoint.write_value_sketches / corpus_value_quantiles.
+
+    ``value_col`` may be a name or a Column (e.g. ``F.length("text")``);
+    it is cast to long — KLL sketches one primitive type, and the
+    engine's use case is length/size/count profiling. k=8192 → ~0.4%
+    normalized rank error, ~20 KB per sketch; while a partition holds
+    ≤ k values the sketch is in exact mode (no compaction, no
+    randomness), which the small-scale oracle relies on.
+
+    Returns (partition_id, n_rows, sketch binary).
+
+    Generalizes the reference's per-table length assertions
+    (reference: etl/test.py:60-128) into a mergeable distribution
+    profile.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return df.groupBy(
+        F.col(partition_col).cast("string").alias("partition_id")
+    ).agg(
+        F.count(v).cast("long").alias("n_rows"),
+        F.kll_sketch_agg_bigint(v.cast("long"), F.lit(k)).alias("sketch"),
+    )
+
+
+def kll_quantiles(
+    sk_df: DataFrame,
+    quantiles: tuple = LENGTH_QUANTILES,
+    merged: bool = False,
+    k: int = 8192,
+) -> DataFrame:
+    """Quantile estimates from KLL sketch rows.
+
+    merged=False → one output row per sketch row (per-partition
+    quantiles). merged=True → ONE corpus-level row from
+    ``kll_merge_agg_bigint`` over every input sketch; merging reads the
+    ~KB sketch column only, never the data it summarizes.
+
+    Quantile semantics are Datasketches INCLUSIVE rank: quantile(q) is
+    the smallest value v with #(items <= v) >= q·n — i.e. the order
+    statistic at 1-based rank ceil(q·n), which is how the DuckDB oracle
+    states it.
+    """
+    if merged:
+        sk_df = sk_df.agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_sketches"),
+            F.kll_merge_agg_bigint("sketch", F.lit(k)).alias("sketch"),
+        )
+    qcols = [
+        F.kll_sketch_get_quantile_bigint("sketch", F.lit(float(q)))
+        .alias(f"p{str(q)[2:].ljust(2, '0')}")
+        for q in quantiles
+    ]
+    return sk_df.select(
+        *[c for c in sk_df.columns if c != "sketch"], *qcols
+    )
+
+
 def key_skew_profile(
     df: DataFrame, key_col: str, top_n: int = 20
 ) -> DataFrame:

@@ -29,6 +29,7 @@ from anomaly_detector_faironchain_spark.plans.spec import TableSpec
 
 MANIFEST_DIR = "_manifest"
 SKETCH_DIR = "key_sketches"
+VALUE_SKETCH_DIR = "value_sketches"
 DRIFT_DIR = "drift_refs"
 
 
@@ -78,6 +79,56 @@ def corpus_distinct_estimate(spark, out_dir: str):
         ),
     ).filter(F.col("__rn__") == 1).drop("__rn__")
     return merge_sketches(latest)
+
+
+def write_value_sketches(
+    df: DataFrame,
+    value_col,
+    partition_col: str,
+    out_dir: str,
+    run_id: str,
+    k: int = 8192,
+) -> None:
+    """Persist per-partition KLL quantile sketches for this run's
+    partitions — the length-distribution companion to
+    ``write_key_sketches``. Each run appends
+    (run_id, partition_id, n_rows, sketch) rows; KLL sketches are
+    MERGEABLE, so `corpus_value_quantiles` answers "what are the length
+    quantiles across every run so far" from #partitions × ~20 KB of
+    parquet — no rescan of completed partitions, ever."""
+    from anomaly_detector_faironchain_spark.operators.stats import (
+        kll_partition_sketches,
+    )
+
+    sk = kll_partition_sketches(df, value_col, partition_col, k=k)
+    (
+        sk.withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .parquet(str(Path(out_dir) / VALUE_SKETCH_DIR))
+    )
+
+
+def corpus_value_quantiles(spark, out_dir: str, quantiles=None, k: int = 8192):
+    """Merge every persisted partition KLL sketch (across all runs) into
+    one corpus-level quantile row. Reads only the sketch parquet — never
+    the data. A partition re-validated by a later run keeps only its
+    latest sketch, so corrected partitions don't double-count."""
+    from anomaly_detector_faironchain_spark.operators.stats import (
+        LENGTH_QUANTILES,
+        kll_quantiles,
+    )
+
+    path = Path(out_dir) / VALUE_SKETCH_DIR
+    sk = spark.read.parquet(str(path))
+    latest = sk.withColumn(
+        "__rn__",
+        F.row_number().over(
+            Window.partitionBy("partition_id").orderBy(F.col("run_id").desc())
+        ),
+    ).filter(F.col("__rn__") == 1).drop("__rn__", "run_id", "partition_id")
+    return kll_quantiles(
+        latest, quantiles or LENGTH_QUANTILES, merged=True, k=k
+    )
 
 
 def _drift_params(d) -> str:

@@ -1388,6 +1388,7 @@ _DRIVER_PRIORITY = [
     "drift_by_group", "spearman", "whitelist_flag", "sessionization",
     # -- 10 never driver-checked (temporal / training / diagnostics) -------
     "asof_attribution", "interval_follow", "hll_uniqueness_screen",
+    "kll_length_quantiles",  # round-3 new: mergeable KLL length profile
     "key_skew",
     "train_split", "corpus_mixture", "doc_chunks", "token_packing",
     "top_terms", "stratified_sample",

@@ -14,6 +14,15 @@
   same verdict from exact distinct counts; the dup ratios in the test
   data sit far from the 0.8 threshold, so the ~2.5% sketch error can
   never flip a verdict.
+- kll_length_quantiles: per-lang document length quantiles from
+  MERGEABLE KLL sketches (kll_sketch_agg_bigint) plus a corpus row
+  built by MERGING the per-lang sketches — the checkpoint/resume form
+  of the length-quantile profile (plans/checkpoint.write_value_sketches).
+  With k=8192 every sketch stays in exact mode at oracle scale (each
+  group and the merged corpus hold < k values, so no compaction and no
+  randomness), and Datasketches' inclusive-rank quantile is exactly the
+  order statistic at 1-based rank ceil(q·n) — which is what the DuckDB
+  oracle computes.
 """
 
 from __future__ import annotations
@@ -170,13 +179,69 @@ FROM events GROUP BY 1
 """
 
 
+# -- mergeable KLL length quantiles -----------------------------------------
+
+def q_kll_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detector_faironchain_spark.operators.stats import (
+        kll_partition_sketches,
+        kll_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = kll_partition_sketches(docs, F.length("text"), "lang", k=8192)
+    per_lang = kll_quantiles(sk, (0.5, 0.95, 0.99), k=8192)
+    corpus = kll_quantiles(sk, (0.5, 0.95, 0.99), merged=True, k=8192).select(
+        F.lit("__corpus__").alias("partition_id"), "n_rows",
+        "p50", "p95", "p99",
+    )
+    return per_lang.unionByName(corpus).select(
+        "partition_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("p50").cast("long").alias("p50"),
+        F.col("p95").cast("long").alias("p95"),
+        F.col("p99").cast("long").alias("p99"),
+    )
+
+
+ORACLE_KLL_LENGTH_QUANTILES = """
+WITH lens AS (
+  SELECT lang, length(text) AS len FROM documents WHERE text IS NOT NULL
+), ranked AS (
+  SELECT lang, len,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY len) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM lens
+), granked AS (
+  SELECT len,
+         ROW_NUMBER() OVER (ORDER BY len) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lens
+)
+SELECT lang AS partition_id,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN len END) AS BIGINT) AS p50,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN len END) AS BIGINT) AS p95,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN len END) AS BIGINT) AS p99
+FROM ranked GROUP BY 1
+UNION ALL
+SELECT '__corpus__' AS partition_id,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN len END) AS BIGINT) AS p50,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN len END) AS BIGINT) AS p95,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN len END) AS BIGINT) AS p99
+FROM granked
+"""
+
+
 QUERIES = {
     "asof_attribution": q_asof_attribution,
     "interval_follow": q_interval_follow,
     "hll_uniqueness_screen": q_hll_uniqueness_screen,
+    "kll_length_quantiles": q_kll_length_quantiles,
 }
 ORACLES = {
     "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
     "interval_follow": ORACLE_INTERVAL_FOLLOW,
     "hll_uniqueness_screen": ORACLE_HLL_UNIQUENESS_SCREEN,
+    "kll_length_quantiles": ORACLE_KLL_LENGTH_QUANTILES,
 }

@@ -297,3 +297,94 @@ def test_checkpoint_sketches_revalidated_partition_uses_latest(spark, tmp_path):
     assert got["n_partitions"] == 1
     assert got["n_rows"] == 1000
     assert abs(got["distinct_estimate"] - 1000) < 100
+
+
+# -- mergeable KLL length-quantile sketches ---------------------------------
+
+def test_kll_sketches_exact_at_small_n(spark):
+    from anomaly_detector_faironchain_spark.operators.stats import (
+        kll_partition_sketches,
+        kll_quantiles,
+    )
+
+    # 4 partitions x 250 values each — well under k, so the sketch is in
+    # exact mode and quantile(q) is the order statistic at rank ceil(q*n)
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("part"),
+        # deterministic scramble so per-partition values aren't sorted
+        F.xxhash64("id").alias("v"),
+    )
+    sk = kll_partition_sketches(df, F.col("v"), "part", k=8192)
+    got = {
+        r["partition_id"]: r
+        for r in kll_quantiles(sk, (0.5, 0.95, 0.99), k=8192).collect()
+    }
+    rows = df.collect()
+    import math
+
+    for p in ("0", "1", "2", "3"):
+        vs = sorted(r["v"] for r in rows if r["part"] == p)
+        n = len(vs)
+        assert got[p]["n_rows"] == n == 250
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            assert got[p][col] == vs[math.ceil(q * n) - 1], (p, col)
+
+
+def test_kll_merge_equals_direct_sketch(spark):
+    from anomaly_detector_faironchain_spark.operators.stats import (
+        kll_partition_sketches,
+        kll_quantiles,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 8).cast("string").alias("part"),
+        F.xxhash64("id", F.lit(7)).alias("v"),
+    )
+    sk = kll_partition_sketches(df, F.col("v"), "part", k=8192)
+    merged = kll_quantiles(sk, (0.5, 0.95), merged=True, k=8192).collect()[0]
+    direct = kll_quantiles(
+        kll_partition_sketches(
+            df.withColumn("part", F.lit("all")), F.col("v"), "part", k=8192
+        ),
+        (0.5, 0.95),
+        k=8192,
+    ).collect()[0]
+    assert merged["n_rows"] == direct["n_rows"] == 2000
+    assert merged["n_sketches"] == 8
+    assert merged["p50"] == direct["p50"]
+    assert merged["p95"] == direct["p95"]
+
+
+def test_checkpoint_value_sketches_across_runs(spark, tmp_path):
+    from anomaly_detector_faironchain_spark.plans.checkpoint import (
+        corpus_value_quantiles,
+        write_value_sketches,
+    )
+    import math
+
+    out = str(tmp_path / "vk")
+    # run 1: partition p0 with SMALL values; run 2: new partitions with
+    # LARGE values + a re-validation of p0 (latest sketch must win)
+    run1 = spark.range(400).select(
+        F.lit("p0").alias("part"), F.col("id").alias("v")
+    )
+    run2 = spark.range(400, 1200).select(
+        F.concat(F.lit("p"), (F.col("id") % 2 + 1).cast("string"))
+        .alias("part"),
+        F.col("id").alias("v"),
+    )
+    run3_revalidate_p0 = spark.range(400).select(
+        F.lit("p0").alias("part"), (F.col("id") + 10_000).alias("v")
+    )
+    write_value_sketches(run1, F.col("v"), "part", out, run_id="r1")
+    write_value_sketches(run2, F.col("v"), "part", out, run_id="r2")
+    write_value_sketches(run3_revalidate_p0, F.col("v"), "part", out,
+                         run_id="r3")
+
+    got = corpus_value_quantiles(spark, out).collect()[0]
+    # latest p0 sketch (10000..10399) + run2 (400..1199): 1200 values
+    assert got["n_rows"] == 1200
+    assert got["n_sketches"] == 3
+    vs = sorted(list(range(400, 1200)) + list(range(10_000, 10_400)))
+    assert got["p50"] == vs[math.ceil(0.5 * len(vs)) - 1]
+    assert got["p99"] == vs[math.ceil(0.99 * len(vs)) - 1]
