@@ -233,15 +233,68 @@ FROM granked
 """
 
 
+# -- snapshot table: time travel + incremental scan --------------------------
+
+def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a 2-snapshot table from `documents` (snapshot 1 = doc_id %
+    3 != 0, snapshot 2 appends the rest), then aggregates three reads:
+    time travel to snapshot 1, the incremental scan after snapshot 1,
+    and the current table. Proves commit/time-travel/incremental
+    semantics against plain SQL over the same split."""
+    import tempfile
+
+    from anomaly_detector_faironchain_spark.plans.snapshots import (
+        SnapshotTable,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = SnapshotTable.create(tempfile.mkdtemp(prefix="snaptbl_"))
+    t.append(docs.filter(F.col("doc_id") % 3 != 0))
+    t.append(docs.filter(F.col("doc_id") % 3 == 0))
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select("phase", "lang", "n_docs", "total_chars")
+
+    return (
+        agg(t.read(spark, snapshot_id=1), "snap1")
+        .unionByName(agg(t.incremental(spark, after_id=1), "increment"))
+        .unionByName(agg(t.read(spark), "current"))
+    )
+
+
+ORACLE_SNAPSHOT_INCREMENTAL = """
+SELECT 'snap1' AS phase, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 3 != 0 GROUP BY 2
+UNION ALL
+SELECT 'increment' AS phase, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 3 = 0 GROUP BY 2
+UNION ALL
+SELECT 'current' AS phase, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 2
+"""
+
+
 QUERIES = {
     "asof_attribution": q_asof_attribution,
     "interval_follow": q_interval_follow,
     "hll_uniqueness_screen": q_hll_uniqueness_screen,
     "kll_length_quantiles": q_kll_length_quantiles,
+    "snapshot_incremental": q_snapshot_incremental,
 }
 ORACLES = {
     "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
     "interval_follow": ORACLE_INTERVAL_FOLLOW,
     "hll_uniqueness_screen": ORACLE_HLL_UNIQUENESS_SCREEN,
     "kll_length_quantiles": ORACLE_KLL_LENGTH_QUANTILES,
+    "snapshot_incremental": ORACLE_SNAPSHOT_INCREMENTAL,
 }
