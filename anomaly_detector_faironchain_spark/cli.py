@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
                         "override (iceberg:/table: read catalog tables)")
     v.add_argument("--violation-limit", type=int, default=1000,
                    help="max materialized violation rows per (partition, check)")
+    v.add_argument("--snapshot", action="store_true",
+                   help="treat --input as a plans.snapshots.SnapshotTable "
+                        "dir and validate ONLY snapshots appended since "
+                        "the last validated watermark (incremental mode)")
     e = sub.add_parser("etl", help="EP1: raw chain data → abstract tables")
     e.add_argument("--blocks", required=True, help="raw blocks table")
     e.add_argument("--transfers", required=True, help="raw native transfers")
@@ -94,12 +98,38 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "serve":
         return _run_serve(spark, args)
 
-    df = load_table(spark, args.input, args.format)
     refs = {}
     for spec_str in args.ref:
         name, path = spec_str.split("=", 1)
         refs[name] = load_table(spark, path, args.format)
     spec = north_rule_spec(partition_col=args.partition_col)
+    if args.snapshot:
+        from anomaly_detector_faironchain_spark.plans.snapshots import (
+            SnapshotTable,
+            validate_new_snapshots,
+        )
+
+        table = SnapshotTable(args.input)
+        sid, result = validate_new_snapshots(
+            spark, table, spec, args.out, refs=refs,
+            input_path=args.input,
+            violation_limit_per_check=args.violation_limit,
+        )
+        if result is None:
+            print(json.dumps({"status": "already_complete",
+                              "snapshot": sid, "out": args.out}))
+            return 0
+        summary = {
+            "status": "complete",
+            "snapshot": sid,
+            "out": args.out,
+            "passed": result.passed(),
+            "partitions": result.profile.count(),
+        }
+        print(json.dumps(summary))
+        return 0 if summary["passed"] else 2
+
+    df = load_table(spark, args.input, args.format)
     result = run_with_checkpoint(df, spec, args.out, refs=refs,
                                  input_path=args.input,
                                  violation_limit_per_check=args.violation_limit)

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from anomaly_detector_faironchain_spark.plans.spec import (
     CardinalityBounds,
+    Correlation,
     Freshness,
     InRange,
     InSet,
@@ -192,6 +193,43 @@ def profile_aggs(
             F.max(F.col(fr.col)).cast("double").alias(
                 f"freshness_max__{fr.check_id()}"
             )
+        )
+
+    # Correlation: built from covar_samp / stddev_samp co-moment
+    # aggregates (each algebraic — map-side combines like a sum), joined
+    # by try_divide, NOT from F.corr. Two measured reasons:
+    # (1) under ANSI mode (this build's default) F.corr on an exactly
+    #     zero-variance group ABORTS the job with DIVIDE_BY_ZERO;
+    # (2) with ANSI off it returns partitioning-dependent garbage on
+    #     constant columns (corr(x, const) = -0.31 or +0.61 depending on
+    #     the plan) — cancellation residue divided by ~0.
+    # try_divide yields NULL exactly when the denominator is zero, and
+    # the verdict builder ALSO guards undefinedness exactly via paired
+    # min==max (min/max carry no FP error) over the both-non-null
+    # subset, so tiny nonzero cancellation residue in stddev cannot
+    # smuggle a garbage metric through.
+    for co in spec.by_type(Correlation):
+        a = F.col(co.col_a).cast("double")
+        b = F.col(co.col_b).cast("double")
+        # covar_samp pairs internally; stddevs must see the SAME subset
+        pair = a.isNotNull() & b.isNotNull()
+        pa, pb = F.when(pair, a), F.when(pair, b)
+        cid = co.check_id()
+        ratio = F.try_divide(
+            F.covar_samp(a, b), F.stddev_samp(pa) * F.stddev_samp(pb)
+        )
+        aggs.extend(
+            [
+                # clamp FP overshoot (measured: 1.0000000000000002 on a
+                # perfectly linear pair) — Pearson is in [-1, 1] exactly
+                F.greatest(F.lit(-1.0), F.least(F.lit(1.0), ratio))
+                .alias(f"corr__{cid}"),
+                F.count(F.when(pair, 1)).alias(f"corr_n__{cid}"),
+                F.min(pa).alias(f"corr_amin__{cid}"),
+                F.max(pa).alias(f"corr_amax__{cid}"),
+                F.min(pb).alias(f"corr_bmin__{cid}"),
+                F.max(pb).alias(f"corr_bmax__{cid}"),
+            ]
         )
 
     # CardinalityBounds approx mode: HLL estimate rides the fused pass

@@ -18,6 +18,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from anomaly_detector_faironchain_spark import __version__
@@ -380,7 +381,11 @@ def run_with_checkpoint(
         .partitionBy("partition_id")
         .parquet(str(Path(out_dir) / "violations"))
     )
-    result.profile.write.mode("append").parquet(str(Path(out_dir) / "profile"))
+    (
+        result.profile
+        .withColumn("run_id", F.lit(run_id or f"{int(time.time()):012d}"))
+        .write.mode("append").parquet(str(Path(out_dir) / "profile"))
+    )
     if result.drift_histograms:
         write_drift_references(
             result, out_dir, run_id or f"{int(time.time()):012d}", spec=spec
@@ -391,6 +396,109 @@ def run_with_checkpoint(
         )
     _write_manifests(out_dir, spec, result, time.time() - t0, input_path)
     return result
+
+
+def profile_metric_drift(
+    spark,
+    out_dir: str,
+    metrics: list[str] | None = None,
+    rel_threshold: float = 0.5,
+    abs_floor: float = 1e-9,
+) -> DataFrame:
+    """Run-over-run regression check on the persisted profile metrics —
+    the scalar-metric sibling of the histogram Drift loop (Deequ's
+    RelativeRateOfChange anomaly strategy, re-expressed over the
+    checkpoint dir).
+
+    For every (partition_id, metric) present in the LATEST run that also
+    has a PREVIOUS observation, emits a verdict row failing when
+    |cur - prev| / max(|prev|, abs_floor) > rel_threshold. A partition
+    or metric seen for the first time passes vacuously (first
+    observation is the baseline — same bootstrap semantics as Drift and
+    schema lineage). Run ordering is the lexicographic run_id, so use
+    sortable ids (the run_with_checkpoint default is a zero-padded unix
+    time).
+
+    ``metrics`` defaults to every numeric profile column (n_rows,
+    null_count__*, mean__*, min__*, max__*, len_max__*, violations__*).
+
+    Scale shape: the profile is ONE ROW per partition per run — this
+    reads and joins only those rows, never the data; at 10^12 source
+    rows the comparison frame is still #partitions-sized. Profile dirs
+    are discovered under out_dir itself AND under snap-*/ children, so
+    snapshot-increment validation (plans/snapshots.validate_new_
+    snapshots) gets cross-increment monitoring for free.
+
+    Returns verdict-shaped rows: (partition_id, check_id, passed,
+    metric [relative change], threshold, prev_value, cur_value,
+    prev_run, cur_run).
+    """
+    root = Path(out_dir)
+    paths = [
+        str(p)
+        for p in [root / "profile", *sorted(root.glob("snap-*/profile"))]
+        if p.is_dir()
+    ]
+    if not paths:
+        raise ValueError(f"no persisted profiles under {out_dir!r}")
+    prof = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if "run_id" not in prof.columns:
+        raise ValueError(
+            "persisted profiles carry no run_id (written by an older "
+            "engine version); re-run validation to enable metric drift"
+        )
+
+    num_types = tuple(t.simpleString() for t in (
+        T.LongType(), T.IntegerType(), T.DoubleType(), T.FloatType(),
+        T.ShortType(),
+    ))
+    if metrics is None:
+        metrics = [
+            f.name
+            for f in prof.schema.fields
+            if f.name not in ("partition_id", "run_id")
+            and f.dataType.simpleString() in num_types
+        ]
+
+    melted = prof.select(
+        "partition_id",
+        "run_id",
+        F.stack(
+            F.lit(len(metrics)),
+            *[
+                x
+                for m in metrics
+                for x in (F.lit(m), F.col(m).cast("double"))
+            ],
+        ).alias("metric_name", "value"),
+    )
+    w = Window.partitionBy("partition_id", "metric_name").orderBy("run_id")
+    ranked = melted.select(
+        "*",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("run_id").over(w).alias("prev_run"),
+        F.row_number().over(
+            Window.partitionBy("partition_id", "metric_name")
+            .orderBy(F.col("run_id").desc())
+        ).alias("__rn__"),
+    ).filter(F.col("__rn__") == 1)
+
+    rel = F.abs(F.col("value") - F.col("prev_value")) / F.greatest(
+        F.abs(F.col("prev_value")), F.lit(float(abs_floor))
+    )
+    return ranked.select(
+        "partition_id",
+        F.concat(F.lit("metric_drift("), "metric_name", F.lit(")"))
+        .alias("check_id"),
+        F.coalesce(rel <= F.lit(float(rel_threshold)), F.lit(True))
+        .alias("passed"),
+        F.round(F.coalesce(rel, F.lit(0.0)), 6).alias("metric"),
+        F.lit(float(rel_threshold)).alias("threshold"),
+        F.col("prev_value"),
+        F.col("value").alias("cur_value"),
+        F.col("prev_run"),
+        F.col("run_id").alias("cur_run"),
+    )
 
 
 DIGEST_DIR = "content_digests"

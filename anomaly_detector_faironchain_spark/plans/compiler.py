@@ -27,6 +27,7 @@ from anomaly_detector_faironchain_spark.operators import referential, stats, tem
 from anomaly_detector_faironchain_spark.plans.spec import (
     Benford,
     CardinalityBounds,
+    Correlation,
     CountMatch,
     Drift,
     ForeignKey,
@@ -711,6 +712,34 @@ def validate_table(
                 F.lit(float(fr.max_age)).alias("threshold"),
                 F.lit(0).cast("long").alias("n_violations"),
                 F.lit(fr.description()).alias("description"),
+            )
+        )
+
+    # Pass 1e: correlation bounds — straight off the fused profile's
+    # corr() co-moment aggregate; undefined correlation (metric null:
+    # < 2 paired values or zero variance) passes or fails per
+    # allow_undefined.
+    for co in spec.by_type(Correlation):
+        cid = co.check_id()
+        defined = (
+            (F.col(f"corr_n__{cid}") >= 2)
+            & (F.col(f"corr_amin__{cid}") < F.col(f"corr_amax__{cid}"))
+            & (F.col(f"corr_bmin__{cid}") < F.col(f"corr_bmax__{cid}"))
+        )
+        cm = F.when(defined, F.col(f"corr__{cid}"))
+        verdict_parts.append(
+            profile.select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(co.check_id()).alias("check_id"),
+                F.coalesce(
+                    cm.between(F.lit(float(co.lo)), F.lit(float(co.hi))),
+                    F.lit(bool(co.allow_undefined)),
+                ).alias("passed"),
+                cm.cast("double").alias("metric"),
+                F.lit(float(co.hi)).alias("threshold"),
+                F.lit(0).cast("long").alias("n_violations"),
+                F.lit(co.description()).alias("description"),
             )
         )
 

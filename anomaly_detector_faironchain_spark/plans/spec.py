@@ -472,6 +472,45 @@ class Freshness(Constraint):
 
 
 @dataclass(frozen=True)
+class Correlation(Constraint):
+    """Pearson corr(col_a, col_b) per partition must lie in [lo, hi].
+
+    The cross-column structural check no per-column profile can see: two
+    columns that should co-move (file size vs line count, fee vs gas
+    used) losing their correlation is a strong silent-corruption signal
+    — a writer that shuffles one column's values within a partition
+    keeps every per-column statistic identical; only the JOINT
+    distribution notices. Negative bounds certify expected
+    anti-correlation the same way.
+
+    Scale shape: rides the fused profile pass — corr() is an algebraic
+    aggregate (co-moments map-side combine like sums), so the check
+    costs zero extra scans at any table size.
+
+    A partition where correlation is UNDEFINED (fewer than 2 paired
+    non-null values, or zero variance in either column — Spark returns
+    NaN/null) passes vacuously by default; set allow_undefined=False to
+    fail those partitions (e.g. when constant-fill is itself the feared
+    corruption — though CardinalityBounds attributes that more directly).
+    """
+
+    col_a: str
+    col_b: str
+    lo: float = -1.0
+    hi: float = 1.0
+    allow_undefined: bool = True
+
+    def check_id(self) -> str:
+        return f"corr({self.col_a},{self.col_b})"
+
+    def description(self) -> str:
+        return (
+            f"corr({self.col_a}, {self.col_b}) must be in "
+            f"[{self.lo}, {self.hi}]"
+        )
+
+
+@dataclass(frozen=True)
 class CardinalityBounds(Constraint):
     """distinct({col}) / non-null-count({col}) per partition must lie in
     [lo_ratio, hi_ratio].

@@ -30,6 +30,7 @@ from anomaly_detector_faironchain_spark.operators import drift as drift_ops
 from anomaly_detector_faironchain_spark.plans.compiler import validate_table
 from anomaly_detector_faironchain_spark.plans.spec import (
     CardinalityBounds,
+    Correlation,
     ForeignKey,
     Freshness,
     ProfileOutlier,
@@ -1147,6 +1148,74 @@ SELECT COALESCE(CAST(p_brand AS VARCHAR), '__null__') AS partition_id,
 FROM part GROUP BY 1
 """
 
+def q_corr_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation constraint kernel: per-lang joint-distribution checks
+    over documents. Three shapes in one run: a perfectly co-moving pair
+    (n_chars vs length(text) — passes at corr=1), an independent pair
+    judged against lo=0.5 (fails everywhere), and a pair that is
+    CONSTANT for one partition (zh) — exercising the exact
+    undefined-detection path (Spark's raw corr returns partitioning-
+    dependent garbage on zero variance; the engine nulls it via paired
+    min==max, matching DuckDB's NULL)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.length("text").cast("double").alias("text_len"),
+        F.col("doc_id").cast("double").alias("doc_idd"),
+        F.when(F.col("lang") == "zh", F.lit(7.0))
+        .otherwise(F.col("n_chars") * 2 + 1)
+        .alias("mix"),
+    )
+    spec = TableSpec(
+        name="documents",
+        partition_col="lang",
+        constraints=(
+            Correlation("n_chars", "text_len", lo=0.99, hi=1.0),
+            Correlation("doc_idd", "n_chars", lo=0.5, hi=1.0),
+            Correlation("n_chars", "mix", lo=0.5, hi=1.0),
+        ),
+    )
+    res = validate_table(
+        aug, spec, materialize_violations=False, eager_warm=False
+    )
+    return res.verdicts.filter(
+        F.col("check_id").startswith("corr")
+    ).select(
+        "partition_id",
+        "check_id",
+        "passed",
+        F.round("metric", 6).cast("double").alias("metric"),
+    )
+
+
+ORACLE_CORR_VALIDATION = """
+WITH aug AS (
+  SELECT lang,
+         CAST(n_chars AS DOUBLE) AS n_chars,
+         CAST(length(text) AS DOUBLE) AS text_len,
+         CAST(doc_id AS DOUBLE) AS doc_idd,
+         CASE WHEN lang = 'zh' THEN 7.0
+              ELSE CAST(n_chars AS DOUBLE) * 2 + 1 END AS mix
+  FROM documents
+)
+SELECT lang AS partition_id, 'corr(n_chars,text_len)' AS check_id,
+       COALESCE(corr(n_chars, text_len) BETWEEN 0.99 AND 1.0, TRUE) AS passed,
+       CAST(ROUND(corr(n_chars, text_len), 6) AS DOUBLE) AS metric
+FROM aug GROUP BY 1
+UNION ALL
+SELECT lang, 'corr(doc_idd,n_chars)',
+       COALESCE(corr(doc_idd, n_chars) BETWEEN 0.5 AND 1.0, TRUE),
+       CAST(ROUND(corr(doc_idd, n_chars), 6) AS DOUBLE)
+FROM aug GROUP BY 1
+UNION ALL
+SELECT lang, 'corr(n_chars,mix)',
+       COALESCE(corr(n_chars, mix) BETWEEN 0.5 AND 1.0, TRUE),
+       CAST(ROUND(corr(n_chars, mix), 6) AS DOUBLE)
+FROM aug GROUP BY 1
+"""
+
+
 def q_profile_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProfileOutlier constraint kernel: fleet-relative robust-z (MAD)
     verdicts over the per-partition profile — the reference's whale
@@ -1246,11 +1315,13 @@ FROM prof, meds, mads
 QUERIES.update({
     "freshness": q_freshness,
     "cardinality_ratio": q_cardinality_ratio,
+    "corr_validation": q_corr_validation,
     "profile_outlier": q_profile_outlier,
 })
 ORACLES.update({
     "freshness": ORACLE_FRESHNESS,
     "cardinality_ratio": ORACLE_CARDINALITY_RATIO,
+    "corr_validation": ORACLE_CORR_VALIDATION,
     "profile_outlier": ORACLE_PROFILE_OUTLIER,
 })
 
@@ -1379,6 +1450,7 @@ _DRIVER_PRIORITY = [
     # -- round-3 NEW constraints: never driver-checked -----------------------
     "schema_match",
     "profile_outlier", "freshness", "cardinality_ratio",
+    "corr_validation",
     "monotonic_violations", "count_reconciliation", "benford_mad",
     "motif_fused",  # fused mutual+triangle+egonet kernel (EP2's new default)
     # -- 13 green-in-r1 but dropped by the r2 cap --------------------------

@@ -91,3 +91,42 @@ def test_cli_analyze_csv_flag_roundtrips(spark, raw_dirs, tmp_path, capsys):
     res_pq = spark.read.parquet(out)
     assert res_csv.count() == res_pq.count()
     assert set(res_csv.columns) == set(res_pq.columns)
+
+
+def test_cli_validate_snapshot_mode(spark, tmp_path, capsys):
+    from anomaly_detector_faironchain_spark.datagen import (
+        source_files as gen,
+    )
+    from anomaly_detector_faironchain_spark.plans.snapshots import (
+        SnapshotTable,
+    )
+    from pyspark.sql import functions as F
+
+    files = gen.generate_source_files(spark, 3000, seed=11)
+    full = files.join(gen.manifest(files), "file_sid")
+    repos_df, _ = gen.companion_dims(files)
+    repos_path = str(tmp_path / "repos")
+    repos_df.write.parquet(repos_path)
+
+    table = SnapshotTable.create(str(tmp_path / "snaptbl"))
+    table.append(full.filter(F.col("bucket") < 8))
+
+    out = str(tmp_path / "ck")
+    args = [
+        "validate", "--input", str(tmp_path / "snaptbl"), "--out", out,
+        "--ref", f"repos={repos_path}", "--snapshot",
+    ]
+    rc = cli.main(args)
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and s1["status"] == "complete" and s1["snapshot"] == 1
+
+    # watermark current -> already_complete, nothing scanned
+    rc = cli.main(args)
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and s2["status"] == "already_complete"
+
+    # append -> exactly the increment validates
+    table.append(full.filter(F.col("bucket") >= 8))
+    rc = cli.main(args)
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and s3["status"] == "complete" and s3["snapshot"] == 2

@@ -136,3 +136,43 @@ def test_validate_new_snapshots_scans_only_increment(spark, tmp_path):
     assert sid == 3 and res is not None
     assert res.profile.agg(F.sum("n_rows")).collect()[0][0] == 40
     assert os.path.isdir(os.path.join(ck, "snap-000003"))
+
+
+def test_profile_metric_drift_across_increments(spark, tmp_path):
+    from anomaly_detector_faironchain_spark.plans.checkpoint import (
+        profile_metric_drift,
+    )
+    from anomaly_detector_faironchain_spark.plans.spec import (
+        NotNull,
+        TableSpec,
+    )
+
+    t = SnapshotTable.create(str(tmp_path / "t"))
+    spec = TableSpec(
+        name="docs", partition_col="lang",
+        constraints=(NotNull("doc_id"),),
+    )
+    ck = str(tmp_path / "ck")
+
+    # increment 1: en docs, healthy text
+    t.append(_mk(spark, 0, 100))
+    validate_new_snapshots(spark, t, spec, ck)
+    # increment 2: en again, but text nulled out for half the rows AND
+    # 4x the row count — both must trip metric drift vs increment 1
+    bad = _mk(spark, 100, 500).withColumn(
+        "text", F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+    )
+    t.append(bad)
+    validate_new_snapshots(spark, t, spec, ck)
+
+    d = profile_metric_drift(spark, ck, rel_threshold=0.5)
+    en = {r["check_id"]: r for r in
+          d.filter(F.col("partition_id") == "en").collect()}
+    row_drift = en["metric_drift(n_rows)"]
+    assert not row_drift["passed"]          # 100 -> 400 rows
+    assert row_drift["metric"] == 3.0
+    assert row_drift["prev_value"] == 100.0 and row_drift["cur_value"] == 400.0
+    null_drift = en["metric_drift(null_count__text)"]
+    assert not null_drift["passed"]         # 0 -> 200 nulls
+    # a metric that stayed put passes
+    assert en["metric_drift(null_count__doc_id)"]["passed"]

@@ -627,3 +627,76 @@ def test_schema_match_only_spec_runs_zero_data_jobs(spark):
     assert "Range" not in plan
     rows = res.verdicts.collect()
     assert len(rows) == 1 and rows[0]["passed"] is True
+
+
+def test_correlation_constraint(spark):
+    from anomaly_detector_faironchain_spark.plans import (
+        Correlation,
+        TableSpec,
+    )
+    from anomaly_detector_faironchain_spark.plans.compiler import (
+        validate_table,
+    )
+
+    # p_corr: y tracks x (corr ~1). p_anti: y = -x (corr -1).
+    # p_shuffled: same marginals as p_corr but y decoupled from x.
+    # p_const: zero variance in y -> correlation undefined.
+    # p_tiny: a single row -> undefined.
+    base = spark.range(200).select(
+        F.col("id").alias("x"), (F.col("id") * 2).alias("y")
+    )
+    df = (
+        base.withColumn("part", F.lit("p_corr"))
+        .unionByName(
+            base.select("x", (-F.col("x")).alias("y"))
+            .withColumn("part", F.lit("p_anti"))
+        )
+        .unionByName(
+            base.select(
+                "x",
+                (F.xxhash64("x") % 1000).cast("long").alias("y"),
+            ).withColumn("part", F.lit("p_shuffled"))
+        )
+        .unionByName(
+            base.select("x", F.lit(7).cast("long").alias("y"))
+            .withColumn("part", F.lit("p_const"))
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.col("id").alias("x"), F.col("id").alias("y"),
+                F.lit("p_tiny").alias("part"),
+            )
+        )
+    )
+    spec = TableSpec(
+        name="t", partition_col="part",
+        constraints=(Correlation("x", "y", lo=0.8, hi=1.0),),
+    )
+    res = validate_table(df, spec)
+    got = {
+        r["partition_id"]: r
+        for r in res.verdicts.filter(
+            F.col("check_id") == "corr(x,y)"
+        ).collect()
+    }
+    assert got["p_corr"]["passed"] and got["p_corr"]["metric"] > 0.999
+    assert not got["p_anti"]["passed"] and got["p_anti"]["metric"] < -0.999
+    assert not got["p_shuffled"]["passed"]
+    assert abs(got["p_shuffled"]["metric"]) < 0.3
+    # undefined -> vacuous pass with null metric (default)
+    for p in ("p_const", "p_tiny"):
+        assert got[p]["passed"] and got[p]["metric"] is None
+
+    strict = TableSpec(
+        name="t", partition_col="part",
+        constraints=(
+            Correlation("x", "y", lo=0.8, hi=1.0, allow_undefined=False),
+        ),
+    )
+    got2 = {
+        r["partition_id"]: r["passed"]
+        for r in validate_table(df, strict).verdicts.filter(
+            F.col("check_id") == "corr(x,y)"
+        ).collect()
+    }
+    assert not got2["p_const"] and not got2["p_tiny"]
