@@ -29,6 +29,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     CardinalityBounds,
     Correlation,
     CountMatch,
+    DistributionOutlier,
     Drift,
     ForeignKey,
     FunctionalDependency,
@@ -457,6 +458,24 @@ def validate_table(
             cached_frames.append(grp)
         card_items.append((cb, grp))
 
+    # Fleet-relative distribution outliers: one histogram pass per
+    # constraint (groupBy(partition, bucket), map-side combined); the
+    # fleet reference is the SAME warmed frame summed over groups, so
+    # unlike Drift no external snapshot is needed.
+    do_items: list[tuple] = []
+    for do in spec.by_type(DistributionOutlier):
+        if do.categorical:
+            do_hist = drift_ops.categorical_histogram(
+                df, do.col, spec.partition_col
+            )
+        else:
+            do_hist = drift_ops.numeric_histogram(
+                df, do.col, do.bins, do.lo, do.hi, spec.partition_col
+            )
+        do_hist = do_hist.persist()
+        cached_frames.append(do_hist)
+        do_items.append((do, do_hist))
+
     drift_items: list[tuple] = []
     for d in spec.by_type(Drift):
         if d.col not in drift_refs:
@@ -846,6 +865,41 @@ def validate_table(
                 F.lit(float(po.z_max)).alias("threshold"),
                 F.lit(0).cast("long").alias("n_violations"),
                 F.lit(po.description()).alias("description"),
+            )
+        )
+
+    # Pass 4c: fleet-relative distribution outliers — each partition's
+    # histogram vs the fleet histogram (the same warmed frame summed
+    # over groups, replicated per group through a broadcast). Partitions
+    # with no non-null values contribute no histogram rows → metric
+    # null → vacuous pass via the left join against the profile's
+    # partition list.
+    for do, do_hist in do_items:
+        by_group = spec.partition_col is not None
+        if by_group:
+            fleet = do_hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+            groups = do_hist.select("group_id").distinct()
+            ref_g = groups.crossJoin(F.broadcast(fleet))
+            score = drift_ops.psi(do_hist, ref_g, by_group=True)
+            score = score.withColumnRenamed("group_id", "partition_id")
+        else:
+            score = drift_ops.psi(do_hist, do_hist, by_group=False)
+            score = score.withColumn(
+                "partition_id", F.lit(stats.WHOLE_TABLE)
+            )
+        verdict_parts.append(
+            all_parts.join(score, "partition_id", "left")
+            .select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(do.check_id()).alias("check_id"),
+                F.coalesce(
+                    F.col("psi") <= F.lit(float(do.psi_max)), F.lit(True)
+                ).alias("passed"),
+                F.col("psi").cast("double").alias("metric"),
+                F.lit(float(do.psi_max)).alias("threshold"),
+                F.lit(0).cast("long").alias("n_violations"),
+                F.lit(do.description()).alias("description"),
             )
         )
 

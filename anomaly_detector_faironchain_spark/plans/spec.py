@@ -570,6 +570,59 @@ class CardinalityBounds(Constraint):
 
 
 @dataclass(frozen=True)
+class DistributionOutlier(Constraint):
+    """Each partition's distribution of `col` must stay within `psi_max`
+    PSI of the run's own FLEET-WIDE distribution (the sum of every
+    partition's histogram). No reference snapshot, no threshold
+    re-tuning as the corpus grows — the run is its own control.
+
+    The full-distribution sibling of ProfileOutlier: ProfileOutlier
+    flags a partition whose scalar profile metric (mean, null rate,
+    row count) disagrees with its siblings; this flags a partition
+    whose SHAPE disagrees — a feed that started writing truncated
+    files keeps the mean plausible while the histogram collapses into
+    two buckets, and a per-column scalar never sees it. And unlike
+    Drift (which needs last run's persisted histogram and catches
+    run-over-run change), this catches intra-run divergence: one
+    partition loaded from a bad writer TODAY.
+
+    Self-inclusion: each partition's rows are part of the fleet
+    histogram it is compared against. At production partition counts
+    the self-mass is negligible; at very small fleets it biases toward
+    passing (a 3-partition fleet where one partition IS a third of the
+    fleet can hide real divergence) — this check is meaningful from
+    roughly 5+ partitions, same regime as ProfileOutlier.
+
+    Scale shape: ONE histogram pass over the data (groupBy(partition,
+    bucket), map-side combined, <= bins rows out per partition); the
+    fleet histogram, the per-group normalization, and the PSI reduce
+    the tiny histogram table — nothing downstream scales with input
+    size. Identical machinery to Drift's pass 4 (operators/drift.py).
+
+    A partition with no non-null values of `col` contributes no
+    histogram rows and passes vacuously (NotNull owns absence).
+    Numeric form bins into `bins` equi-width buckets over [lo, hi]
+    with edge clamping; categorical=True histograms the raw values.
+    """
+
+    col: str
+    bins: int = 32
+    lo: float = 0.0
+    hi: float = 1.0
+    categorical: bool = False
+    psi_max: float = 0.25
+
+    def check_id(self) -> str:
+        return f"distribution_outlier({self.col})"
+
+    def description(self) -> str:
+        return (
+            f"PSI of each partition's {self.col} distribution vs the "
+            f"fleet must be <= {self.psi_max}"
+        )
+
+
+@dataclass(frozen=True)
 class ProfileOutlier(Constraint):
     """Per-partition profile metric must not be a robust-z (MAD) outlier
     relative to its SIBLING partitions: |x - median| / (1.4826 * MAD)

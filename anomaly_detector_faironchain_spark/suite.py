@@ -31,6 +31,7 @@ from anomaly_detector_faironchain_spark.plans.compiler import validate_table
 from anomaly_detector_faironchain_spark.plans.spec import (
     CardinalityBounds,
     Correlation,
+    DistributionOutlier,
     ForeignKey,
     Freshness,
     ProfileOutlier,
@@ -1312,17 +1313,93 @@ FROM prof, meds, mads
 """
 
 
+def q_distribution_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistributionOutlier constraint kernel: each partition's histogram
+    vs the run's own fleet-wide distribution (PSI, no reference
+    snapshot) — the full-distribution sibling of profile_outlier. One
+    priority's prices are deterministically scaled down 10x so exactly
+    that partition's shape diverges from the fleet while the others
+    (whose distributions are i.i.d. across priorities in TPC-H) pass.
+    ONE histogram pass over the data; fleet + PSI reduce the tiny
+    (partitions x bins) histogram frame."""
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.col("o_totalprice").cast("double") * 0.1,
+        )
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("price"),
+    )
+    spec = TableSpec(
+        name="orders",
+        partition_col="o_orderpriority",
+        constraints=(
+            DistributionOutlier(
+                "price", bins=16, lo=0.0, hi=600000.0, psi_max=0.25
+            ),
+        ),
+        profile_len_cols=(),
+    )
+    res = validate_table(
+        od, spec, materialize_violations=False, eager_warm=False
+    )
+    return res.verdicts.filter(
+        F.col("check_id").startswith("distribution_outlier")
+    ).select(
+        "partition_id",
+        F.round("metric", 6).cast("double").alias("psi"),
+        "passed",
+    )
+
+
+ORACLE_DISTRIBUTION_OUTLIER = """
+WITH src AS (
+  SELECT o_orderpriority AS p,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN CAST(o_totalprice AS DOUBLE) * 0.1
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+  FROM orders
+), cur AS (
+  SELECT p,
+         LEAST(GREATEST(CAST(FLOOR(price / (600000.0 / 16)) AS INT), 0), 15)
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM src WHERE price IS NOT NULL GROUP BY 1, 2
+), fleet AS (
+  SELECT bucket, SUM(cnt) AS cnt FROM cur GROUP BY 1
+), cp AS (
+  SELECT p, bucket, cnt * 1.0 / SUM(cnt) OVER (PARTITION BY p) AS pv
+  FROM cur
+), rp0 AS (SELECT bucket, cnt * 1.0 / SUM(cnt) OVER () AS qv FROM fleet),
+groups AS (SELECT DISTINCT p FROM cur),
+rp AS (SELECT g.p, r.bucket, r.qv FROM groups g, rp0 r),
+j AS (
+  SELECT COALESCE(cp.p, rp.p) AS p,
+         COALESCE(cp.pv, 0.0) + 1e-6 AS pv,
+         COALESCE(rp.qv, 0.0) + 1e-6 AS qv
+  FROM cp FULL OUTER JOIN rp ON cp.p = rp.p AND cp.bucket = rp.bucket
+)
+SELECT p AS partition_id,
+       CAST(ROUND(SUM((pv - qv) * LN(pv / qv)), 6) AS DOUBLE) AS psi,
+       SUM((pv - qv) * LN(pv / qv)) <= 0.25 AS passed
+FROM j GROUP BY 1
+"""
+
+
 QUERIES.update({
     "freshness": q_freshness,
     "cardinality_ratio": q_cardinality_ratio,
     "corr_validation": q_corr_validation,
     "profile_outlier": q_profile_outlier,
+    "distribution_outlier": q_distribution_outlier,
 })
 ORACLES.update({
     "freshness": ORACLE_FRESHNESS,
     "cardinality_ratio": ORACLE_CARDINALITY_RATIO,
     "corr_validation": ORACLE_CORR_VALIDATION,
     "profile_outlier": ORACLE_PROFILE_OUTLIER,
+    "distribution_outlier": ORACLE_DISTRIBUTION_OUTLIER,
 })
 
 
@@ -1449,7 +1526,8 @@ ORACLES.update({"schema_match": ORACLE_SCHEMA_MATCH})
 _DRIVER_PRIORITY = [
     # -- round-3 NEW constraints: never driver-checked -----------------------
     "schema_match",
-    "profile_outlier", "freshness", "cardinality_ratio",
+    "profile_outlier", "distribution_outlier", "freshness",
+    "cardinality_ratio",
     "corr_validation",
     "monotonic_violations", "count_reconciliation", "benford_mad",
     "motif_fused",  # fused mutual+triangle+egonet kernel (EP2's new default)

@@ -560,6 +560,91 @@ def test_profile_outlier_null_metric_fails_and_validates_args(spark):
         )
 
 
+def test_distribution_outlier_constraint(spark):
+    from anomaly_detector_faironchain_spark.plans import DistributionOutlier
+
+    # 8 healthy partitions drawing the same uniform cycle over buckets
+    # 1-5; 'shifted' concentrates all mass in one bucket, so its shape
+    # diverges from the fleet while the healthy ones (whose buckets all
+    # stay populated — eps-smoothed PSI punishes absent buckets hard)
+    # barely move; 'empty' has only nulls (vacuous pass)
+    rows = []
+    for g in ("a", "b", "c", "d", "e", "f", "g", "h"):
+        rows += [(g, float(10 + (i % 50))) for i in range(100)]
+    rows += [("shifted", 15.0)] * 50
+    rows += [("empty", None)] * 3
+    df = spark.createDataFrame(rows, "grp string, v double")
+    tspec = TableSpec(
+        name="t",
+        partition_col="grp",
+        constraints=(
+            DistributionOutlier("v", bins=10, lo=0.0, hi=100.0,
+                                psi_max=0.25),
+        ),
+        profile_len_cols=(),
+    )
+    res = validate_table(df, tspec, materialize_violations=False)
+    out = {
+        r["partition_id"]: (r["passed"], r["metric"])
+        for r in res.verdicts.filter(
+            F.col("check_id").startswith("distribution_outlier")
+        ).collect()
+    }
+    assert out["shifted"][0] is False and out["shifted"][1] > 0.25
+    for g in ("a", "b", "c", "d", "e", "f", "g", "h"):
+        assert out[g][0] is True
+    # all-null partition: no histogram rows → vacuous pass, null metric
+    assert out["empty"][0] is True and out["empty"][1] is None
+    res.unpersist()
+
+
+def test_distribution_outlier_categorical_and_whole_table(spark):
+    from anomaly_detector_faironchain_spark.plans import DistributionOutlier
+
+    # categorical form: one partition's lang mix collapses to a single
+    # value while the fleet is an even two-way split
+    rows = []
+    for g in ("a", "b", "c", "d", "e"):
+        rows += [(g, "py"), (g, "rs")] * 10
+    rows += [("mono", "py")] * 20
+    df = spark.createDataFrame(rows, "grp string, lang string")
+    tspec = TableSpec(
+        name="t",
+        partition_col="grp",
+        constraints=(
+            DistributionOutlier("lang", categorical=True, psi_max=0.2),
+        ),
+        profile_len_cols=(),
+    )
+    res = validate_table(df, tspec, materialize_violations=False)
+    out = {
+        r["partition_id"]: r["passed"]
+        for r in res.verdicts.filter(
+            F.col("check_id").startswith("distribution_outlier")
+        ).collect()
+    }
+    assert out["mono"] is False
+    assert out["a"] is True
+    res.unpersist()
+
+    # partition_col=None: the whole table compared against itself → PSI
+    # ~0 → always passes (degenerate but well-defined)
+    tspec1 = TableSpec(
+        name="t",
+        constraints=(
+            DistributionOutlier("lang", categorical=True, psi_max=0.2),
+        ),
+        profile_len_cols=(),
+    )
+    res1 = validate_table(df, tspec1, materialize_violations=False)
+    row = res1.verdicts.filter(
+        F.col("check_id").startswith("distribution_outlier")
+    ).collect()
+    assert len(row) == 1 and row[0]["passed"] is True
+    assert abs(row[0]["metric"]) < 1e-9
+    res1.unpersist()
+
+
 def test_schema_match_constraint(spark):
     import json
 
