@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
                         "override (iceberg:/table: read catalog tables)")
     v.add_argument("--violation-limit", type=int, default=1000,
                    help="max materialized violation rows per (partition, check)")
+    v.add_argument("--spec", default=None, metavar="SUITE_JSON",
+                   help="run a declarative constraint suite from a JSON "
+                        "file (plans.serde format) instead of the built-in "
+                        "north-rule suite; the file's partition_col wins "
+                        "over --partition-col")
     v.add_argument("--snapshot", action="store_true",
                    help="treat --input as a plans.snapshots.SnapshotTable "
                         "dir and validate ONLY snapshots appended since "
@@ -102,7 +107,19 @@ def main(argv: list[str] | None = None) -> int:
     for spec_str in args.ref:
         name, path = spec_str.split("=", 1)
         refs[name] = load_table(spark, path, args.format)
-    spec = north_rule_spec(partition_col=args.partition_col)
+    if args.spec:
+        from anomaly_detector_faironchain_spark.plans.serde import (
+            spec_from_json,
+        )
+
+        with open(args.spec, encoding="utf-8") as fh:
+            spec = spec_from_json(fh.read())
+        # refs declared inside the suite document load with the same
+        # --format default as the primary input; --ref NAME=PATH wins
+        for name, path in spec.refs.items():
+            refs.setdefault(name, load_table(spark, path, args.format))
+    else:
+        spec = north_rule_spec(partition_col=args.partition_col)
     if args.snapshot:
         from anomaly_detector_faironchain_spark.plans.snapshots import (
             SnapshotTable,
