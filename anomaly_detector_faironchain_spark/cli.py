@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
                         "override (iceberg:/table: read catalog tables)")
     v.add_argument("--violation-limit", type=int, default=1000,
                    help="max materialized violation rows per (partition, check)")
+    v.add_argument("--quarantine", default=None, metavar="DIR",
+                   help="also split the input on the row-level checks: "
+                        "violating rows (plus a failed_checks column) go "
+                        "to DIR/quarantine, clean rows to DIR/clean — one "
+                        "map-only pass per side, no shuffle")
     v.add_argument("--spec", default=None, metavar="SUITE_JSON",
                    help="run a declarative constraint suite from a JSON "
                         "file (plans.serde format) instead of the built-in "
@@ -159,6 +164,22 @@ def main(argv: list[str] | None = None) -> int:
         "passed": result.passed(),
         "partitions": result.profile.count(),
     }
+    if args.quarantine:
+        from anomaly_detector_faironchain_spark.plans.quarantine import (
+            split_rows,
+        )
+
+        clean, quarantined = split_rows(df, spec)
+        q_dir = args.quarantine.rstrip("/")
+        quarantined.write.mode("overwrite").parquet(f"{q_dir}/quarantine")
+        clean.write.mode("overwrite").parquet(f"{q_dir}/clean")
+        summary["quarantine"] = {
+            "dir": q_dir,
+            "quarantined": spark.read.parquet(
+                f"{q_dir}/quarantine"
+            ).count(),
+            "clean": spark.read.parquet(f"{q_dir}/clean").count(),
+        }
     print(json.dumps(summary))
     return 0 if summary["passed"] else 2
 

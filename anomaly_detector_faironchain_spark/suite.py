@@ -37,6 +37,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     ProfileOutlier,
     InRange,
     InSet,
+    LengthInRange,
     NotNull,
     Regex,
     RowCheck,
@@ -1403,6 +1404,58 @@ ORACLES.update({
 })
 
 
+def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine split (plans/quarantine.split_rows): rows
+    violating any row-level check leave the table carrying WHICH checks
+    they failed; clean rows keep the input schema. The mark is one
+    map-only codegen projection (the same violation predicates the
+    verdict pass compiles), no shuffle, no UDF. Reference analogue:
+    preprocessing/validation/validate_*.py drop-and-log — re-expressed
+    as a split so repair is an offline batch over the quarantine."""
+    from anomaly_detector_faironchain_spark.plans.quarantine import (
+        split_rows,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spec = TableSpec(
+        name="documents",
+        constraints=(
+            NotNull("text"),
+            InSet("lang", ("en", "de", "fr")),
+            LengthInRange("text", 100, 600),
+        ),
+        profile_len_cols=(),
+    )
+    clean, quarantined = split_rows(docs, spec)
+    return quarantined.select(
+        "doc_id",
+        F.array_join("failed_checks", ",").alias("failed"),
+    )
+
+
+ORACLE_QUARANTINE_SPLIT = """
+WITH checks AS (
+  SELECT doc_id,
+         (text IS NULL) AS v_nn,
+         (lang IS NOT NULL AND lang NOT IN ('en','de','fr')) AS v_set,
+         (text IS NOT NULL
+          AND NOT (length(text) BETWEEN 100 AND 600)) AS v_len
+  FROM documents
+)
+SELECT doc_id,
+       concat_ws(',',
+         CASE WHEN v_set THEN 'in_set(lang)' END,
+         CASE WHEN v_len THEN 'length_in_range(text)' END,
+         CASE WHEN v_nn THEN 'not_null(text)' END) AS failed
+FROM checks
+WHERE v_nn OR v_set OR v_len
+"""
+
+
+QUERIES.update({"quarantine_split": q_quarantine_split})
+ORACLES.update({"quarantine_split": ORACLE_QUARANTINE_SPLIT})
+
+
 def q_schema_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SchemaMatch constraint kernel: declared column→type contracts
     checked against the Catalyst schema — the schema-evolution tripwire
@@ -1551,6 +1604,7 @@ _DRIVER_PRIORITY = [
     "fd_violations",               # new FunctionalDependency constraint
     "dedup_keepers",               # left-join + nulls-last retention
     "domain_quota",                # two-phase top-k cap_per_group
+    "quarantine_split",            # round-3 new: row-level quarantine
     # -- north-rule validation core (keep inside the cap every round) ------
     "embedding_validation", "validation_verdicts", "profile_stats",
     "unique_duplicates", "fk_violations_broadcast", "fk_violations_salted",
