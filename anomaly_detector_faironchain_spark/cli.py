@@ -114,11 +114,14 @@ def main(argv: list[str] | None = None) -> int:
         refs[name] = load_table(spark, path, args.format)
     if args.spec:
         from anomaly_detector_faironchain_spark.plans.serde import (
-            spec_from_json,
+            suite_from_json,
         )
 
         with open(args.spec, encoding="utf-8") as fh:
-            spec = spec_from_json(fh.read())
+            specs, inputs = suite_from_json(fh.read())
+        if len(specs) > 1:
+            return _run_suite_validate(spark, args, specs, inputs, refs)
+        spec = next(iter(specs.values()))
         # refs declared inside the suite document load with the same
         # --format default as the primary input; --ref NAME=PATH wins
         for name, path in spec.refs.items():
@@ -182,6 +185,49 @@ def main(argv: list[str] | None = None) -> int:
         }
     print(json.dumps(summary))
     return 0 if summary["passed"] else 2
+
+
+def _run_suite_validate(spark: SparkSession, args, specs, inputs,
+                        refs) -> int:
+    """Multi-table suite: every table validated CONCURRENTLY
+    (plans/multi.validate_suite — driver threads overlap the
+    independent Spark jobs), verdicts + violations land under
+    {out}/{table}/. Table inputs come from the suite doc's "input"
+    fields, falling back to {--input}/{table}."""
+    from anomaly_detector_faironchain_spark.plans.multi import (
+        validate_suite,
+    )
+
+    tables = {
+        name: load_table(
+            spark, inputs.get(name, f"{args.input.rstrip('/')}/{name}"),
+            args.format,
+        )
+        for name in specs
+    }
+    results = validate_suite(
+        tables, specs, refs=refs,
+        violation_limit_per_check=args.violation_limit,
+    )
+    summary = {"status": "complete", "out": args.out, "tables": {}}
+    all_passed = True
+    for name, res in results.items():
+        res.verdicts.write.mode("overwrite").parquet(
+            f"{args.out}/{name}/verdicts"
+        )
+        res.violations.write.mode("overwrite").parquet(
+            f"{args.out}/{name}/violations"
+        )
+        ok = res.passed()
+        all_passed &= ok
+        summary["tables"][name] = {
+            "passed": ok,
+            "partitions": res.profile.count(),
+        }
+        res.unpersist()
+    summary["passed"] = all_passed
+    print(json.dumps(summary))
+    return 0 if all_passed else 2
 
 
 def _run_etl(spark: SparkSession, args) -> int:

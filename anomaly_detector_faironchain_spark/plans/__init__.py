@@ -55,4 +55,8 @@ __all__ = [
 from anomaly_detector_faironchain_spark.plans.serde import (  # noqa: E402
     spec_from_json,
     spec_to_json,
+    suite_from_json,
+    suite_to_json,
 )
+
+__all__ += ["suite_from_json", "suite_to_json"]

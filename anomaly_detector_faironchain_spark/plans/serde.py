@@ -171,4 +171,55 @@ def spec_to_json(spec: TableSpec, indent: int | None = 2) -> str:
 
 
 def spec_from_json(text: str) -> TableSpec:
-    return spec_from_dict(json.loads(text))
+    d = json.loads(text)
+    if "suite" in d:
+        raise ValueError(
+            "this is a multi-table suite document; load it with "
+            "suite_from_json"
+        )
+    return spec_from_dict(d)
+
+
+def suite_to_json(
+    specs: dict[str, TableSpec],
+    inputs: dict[str, str] | None = None,
+    indent: int | None = 2,
+) -> str:
+    """Multi-table document: {"suite": [<table doc> ...]}, each table
+    doc optionally carrying "input" (the table's path) so
+    `cli validate --spec suite.json` needs no per-table flags."""
+    inputs = inputs or {}
+    docs = []
+    for name, spec in specs.items():
+        d = spec_to_dict(spec)
+        if name in inputs:
+            d["input"] = inputs[name]
+        docs.append(d)
+    return json.dumps({"suite": docs}, indent=indent)
+
+
+def suite_from_json(
+    text: str,
+) -> tuple[dict[str, TableSpec], dict[str, str]]:
+    """Returns ({table_name: TableSpec}, {table_name: input_path}) —
+    the second dict holds only tables whose doc declared "input"."""
+    d = json.loads(text)
+    if "suite" not in d:
+        # a single-table document is a suite of one
+        spec = spec_from_dict(d)
+        return {spec.name: spec}, {}
+    extra = set(d) - {"suite"}
+    if extra:
+        raise ValueError(f"unknown suite-document fields {sorted(extra)}")
+    specs: dict[str, TableSpec] = {}
+    inputs: dict[str, str] = {}
+    for doc in d["suite"]:
+        doc = dict(doc)
+        inp = doc.pop("input", None)
+        spec = spec_from_dict(doc)
+        if spec.name in specs:
+            raise ValueError(f"duplicate table {spec.name!r} in suite")
+        specs[spec.name] = spec
+        if inp is not None:
+            inputs[spec.name] = inp
+    return specs, inputs
