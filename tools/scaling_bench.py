@@ -23,6 +23,13 @@ ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
 # ceiling a real multi-node cluster would not share.
 PROFILE = sys.argv[2] if len(sys.argv) > 2 else "heavy"
 LEN_EXP = {"heavy": (6, 15), "cpu": (4, 9)}[PROFILE]
+# MODE=single: one validate_table (the historical shape). MODE=suite:
+# the SAME total rows split into three tables validated concurrently by
+# plans/multi.validate_suite — measures whether cross-table job overlap
+# recovers the driver-serialization share of the N→4N efficiency gap
+# (stage-tail and between-job driver gaps are a LARGER fraction of
+# wall-clock at 32 cores than at 8, so overlap should close the ratio).
+MODE = sys.argv[3] if len(sys.argv) > 3 else "single"
 
 WORKER = r"""
 import json, sys, time
@@ -33,6 +40,7 @@ from anomaly_detector_faironchain_spark.plans.compiler import validate_table
 from anomaly_detector_faironchain_spark.specs import north_rule_spec
 
 cores, rows, lo, hi = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+mode = sys.argv[5] if len(sys.argv) > 5 else "single"
 # 32MB scan splits: ≥4 tasks per core per wave at every level, so the
 # log-uniform content-length skew can't leave cores idle at stage tails.
 # Heap scales with cores (≈1.5g/core + base) — emulating that a 4N-
@@ -58,16 +66,48 @@ except Exception:
     df = spark.read.parquet(f"{tag}/input")
     repos = spark.read.parquet(f"{tag}/repos")
 
-def run():
-    t0 = time.time()
-    res = validate_table(df, north_rule_spec(), refs={"repos": repos},
-                         materialize_violations=True)
-    res.materialize()
-    return time.time() - t0
+if mode == "suite":
+    import dataclasses
+    from pyspark.sql import functions as F
+    from anomaly_detector_faironchain_spark.plans.multi import validate_suite
+
+    # same total rows, three tables: slices materialized OUTSIDE the
+    # timed region (a real schema has N distinct tables; reusing the
+    # generator corpus keeps the bytes/row identical to single mode)
+    slices = {}
+    for i in range(3):
+        sdir = f"{tag}/slice{i}"
+        try:
+            slices[f"t{i}"] = spark.read.parquet(sdir)
+            slices[f"t{i}"].limit(1).count()
+        except Exception:
+            df.filter(F.pmod(F.xxhash64("file_sid"), F.lit(3)) == i) \
+              .write.parquet(sdir)
+            slices[f"t{i}"] = spark.read.parquet(sdir)
+    specs = {
+        n: dataclasses.replace(north_rule_spec(), name=n) for n in slices
+    }
+
+    def run():
+        t0 = time.time()
+        results = validate_suite(slices, specs, refs={"repos": repos},
+                                 max_parallel=3)
+        for r in results.values():
+            r.unpersist()
+        return time.time() - t0
+else:
+    def run():
+        t0 = time.time()
+        res = validate_table(df, north_rule_spec(), refs={"repos": repos},
+                             materialize_violations=True)
+        res.materialize()
+        res.unpersist()
+        return time.time() - t0
 
 run()  # warm-up
 best = min(run(), run())
-print(json.dumps({"cores": cores, "rows": rows, "sec": round(best, 3),
+print(json.dumps({"cores": cores, "rows": rows, "mode": mode,
+                  "sec": round(best, 3),
                   "files_per_sec": round(rows / best, 1)}))
 """
 
@@ -79,7 +119,7 @@ def run_level(cores: int, retries: int = 1) -> dict:
     # which a real 8-core executor node would not have.
     cmd = ["taskset", "-c", f"0-{cores - 1}",
            sys.executable, "-c", WORKER, str(cores), str(ROWS),
-           str(LEN_EXP[0]), str(LEN_EXP[1])]
+           str(LEN_EXP[0]), str(LEN_EXP[1]), MODE]
     last_err = None
     for attempt in range(retries + 1):
         out = subprocess.run(
@@ -152,7 +192,7 @@ def main() -> None:
     best_pair = max(clean, key=lambda p: p["efficiency"]) if clean else None
     eff = best_pair["efficiency"] if best_pair else eff_minmix
     print(json.dumps({
-        "profile": PROFILE, "local8": r8, "local32": r32,
+        "profile": PROFILE, "mode": MODE, "local8": r8, "local32": r32,
         "all_runs": {"local8": runs8, "local32": runs32},
         "pairs": pairs,
         "n_clean_pairs": len(clean),
