@@ -132,6 +132,55 @@ def corpus_value_quantiles(spark, out_dir: str, quantiles=None, k: int = 8192):
     )
 
 
+TDIGEST_SKETCH_DIR = "tdigest_sketches"
+
+
+def write_tdigest_sketches(
+    df: DataFrame,
+    value_col,
+    partition_col: str,
+    out_dir: str,
+    run_id: str,
+    delta: int = 8192,
+) -> None:
+    """t-digest twin of ``write_value_sketches`` (the north rule names
+    both sketch families: "KLL/t-digest"). Digest state is plain
+    (array<double>, array<double>) parquet — readable without a sketch
+    library — and merges across runs, so the tail quantiles (p99/p999
+    of length/size, where t-digest beats KLL's uniform rank error) come
+    from KBs of centroids, never a rescan."""
+    from anomaly_detector_faironchain_spark.operators.tdigest import (
+        tdigest_partition_sketches,
+    )
+
+    sk = tdigest_partition_sketches(df, value_col, partition_col, delta=delta)
+    (
+        sk.withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .parquet(str(Path(out_dir) / TDIGEST_SKETCH_DIR))
+    )
+
+
+def corpus_tdigest_quantiles(
+    spark, out_dir: str, quantiles=(0.5, 0.95, 0.99), delta: int = 8192
+):
+    """Merge every persisted t-digest (latest sketch per partition wins,
+    matching ``corpus_value_quantiles``) into one corpus quantile row."""
+    from anomaly_detector_faironchain_spark.operators.tdigest import (
+        tdigest_quantiles,
+    )
+
+    path = Path(out_dir) / TDIGEST_SKETCH_DIR
+    sk = spark.read.parquet(str(path))
+    latest = sk.withColumn(
+        "__rn__",
+        F.row_number().over(
+            Window.partitionBy("partition_id").orderBy(F.col("run_id").desc())
+        ),
+    ).filter(F.col("__rn__") == 1).drop("__rn__", "run_id")
+    return tdigest_quantiles(latest, quantiles, merged=True, delta=delta)
+
+
 def _drift_params(d) -> str:
     """Bucketing identity of a Drift constraint. Two histograms are only
     comparable when this matches — bucket ids are integers, so a changed

@@ -284,11 +284,87 @@ FROM documents GROUP BY 2
 """
 
 
+# -- mergeable t-digest length profile ---------------------------------------
+
+def q_tdigest_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang Hazen length quantiles from MERGEABLE t-digests plus a
+    corpus row built by merging the per-lang digests — the second
+    sketch family the north rule names ("KLL/t-digest"). At oracle
+    scale every digest holds ≤ delta singleton centroids (no
+    compression), so the midpoint-interpolated quantile is EXACTLY the
+    Hazen percentile the oracle states (rank h = q·n + 0.5, linear
+    interpolation, clamped). See operators/tdigest.py for the 10^12-row
+    shuffle story (values never shuffle; only centroid arrays do)."""
+    from anomaly_detector_faironchain_spark.operators.tdigest import (
+        tdigest_partition_sketches,
+        tdigest_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = tdigest_partition_sketches(docs, F.length("text"), "lang")
+    per_lang = tdigest_quantiles(sk, (0.5, 0.95, 0.99))
+    corpus = tdigest_quantiles(sk, (0.5, 0.95, 0.99), merged=True)
+    return per_lang.unionByName(corpus).select(
+        "partition_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        F.round("p50", 6).cast("double").alias("p50"),
+        F.round("p95", 6).cast("double").alias("p95"),
+        F.round("p99", 6).cast("double").alias("p99"),
+    )
+
+
+ORACLE_TDIGEST_LENGTH_PROFILE = """
+WITH lens AS (
+  SELECT lang, CAST(length(text) AS DOUBLE) AS v
+  FROM documents WHERE text IS NOT NULL
+), both_scopes AS (
+  SELECT lang AS partition_id, v FROM lens
+  UNION ALL
+  SELECT '__corpus__' AS partition_id, v FROM lens
+), ranked AS (
+  SELECT partition_id, v,
+         ROW_NUMBER() OVER (PARTITION BY partition_id ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY partition_id) AS n
+  FROM both_scopes
+), qs AS (
+  SELECT * FROM (VALUES (0.50, 'p50'), (0.95, 'p95'), (0.99, 'p99'))
+  AS t(q, name)
+), pieces AS (
+  SELECT r.partition_id, q.name,
+         MAX(r.n) AS n, MIN(r.v) AS vmin, MAX(r.v) AS vmax,
+         MAX(q.q * r.n + 0.5) AS h,
+         MAX(CASE WHEN r.rn = GREATEST(1, LEAST(
+               CAST(floor(q.q * r.n + 0.5) AS BIGINT), r.n))
+             THEN r.v END) AS vlo,
+         MAX(CASE WHEN r.rn = GREATEST(1, LEAST(
+               CAST(ceil(q.q * r.n + 0.5) AS BIGINT), r.n))
+             THEN r.v END) AS vhi
+  FROM ranked r CROSS JOIN qs q
+  GROUP BY 1, 2
+), est AS (
+  SELECT partition_id, name, n, vmin, vmax,
+         ROUND(vlo + (h - floor(h)) * (vhi - vlo), 6) AS val
+  FROM pieces
+)
+SELECT partition_id,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(vmin) AS DOUBLE) AS vmin,
+       CAST(MAX(vmax) AS DOUBLE) AS vmax,
+       CAST(MAX(CASE WHEN name = 'p50' THEN val END) AS DOUBLE) AS p50,
+       CAST(MAX(CASE WHEN name = 'p95' THEN val END) AS DOUBLE) AS p95,
+       CAST(MAX(CASE WHEN name = 'p99' THEN val END) AS DOUBLE) AS p99
+FROM est GROUP BY 1
+"""
+
+
 QUERIES = {
     "asof_attribution": q_asof_attribution,
     "interval_follow": q_interval_follow,
     "hll_uniqueness_screen": q_hll_uniqueness_screen,
     "kll_length_quantiles": q_kll_length_quantiles,
+    "tdigest_length_profile": q_tdigest_length_profile,
     "snapshot_incremental": q_snapshot_incremental,
 }
 ORACLES = {
@@ -296,5 +372,6 @@ ORACLES = {
     "interval_follow": ORACLE_INTERVAL_FOLLOW,
     "hll_uniqueness_screen": ORACLE_HLL_UNIQUENESS_SCREEN,
     "kll_length_quantiles": ORACLE_KLL_LENGTH_QUANTILES,
+    "tdigest_length_profile": ORACLE_TDIGEST_LENGTH_PROFILE,
     "snapshot_incremental": ORACLE_SNAPSHOT_INCREMENTAL,
 }
