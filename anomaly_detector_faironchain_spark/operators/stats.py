@@ -28,6 +28,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     InSet,
     LengthInRange,
     NotNull,
+    QuantileBounds,
     Regex,
     RowCheck,
     TableSpec,
@@ -232,6 +233,18 @@ def profile_aggs(
             ]
         )
 
+    # QuantileBounds: one KLL-backed percentile_approx per constraint
+    # rides the fused pass (map-side partial sketches; exact — order
+    # statistic at rank ceil(q·n) — while the partition holds
+    # ≤ accuracy values; measured convention, see spec docstring).
+    for qb in spec.by_type(QuantileBounds):
+        v = F.length(F.col(qb.col)) if qb.length else F.col(qb.col)
+        aggs.append(
+            F.percentile_approx(
+                v.cast("double"), F.lit(float(qb.q)), F.lit(int(qb.accuracy))
+            ).alias(quantile_metric_col(qb))
+        )
+
     # CardinalityBounds approx mode: HLL estimate rides the fused pass
     # (exact mode runs its own two-level agg in the compiler instead).
     for cb in spec.by_type(CardinalityBounds):
@@ -242,6 +255,16 @@ def profile_aggs(
                 )
             )
     return aggs
+
+
+def quantile_metric_col(qb) -> str:
+    """Profile-column alias for a QuantileBounds metric. check_id holds
+    dots and parens (human-facing verdict value); column NAMES must stay
+    free of them — dots break F.col resolution downstream and parquet
+    rejects "(),=" in field names when the profile is checkpointed."""
+    import re as _re
+
+    return "quantile__" + _re.sub(r"[^A-Za-z0-9_]+", "_", qb.check_id())
 
 
 def profile_table(

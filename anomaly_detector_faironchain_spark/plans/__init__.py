@@ -5,6 +5,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     CardinalityBounds,
     Constraint,
     Correlation,
+    QuantileBounds,
     CountMatch,
     DistributionOutlier,
     Drift,
@@ -30,6 +31,7 @@ __all__ = [
     "CardinalityBounds",
     "Constraint",
     "Correlation",
+    "QuantileBounds",
     "CountMatch",
     "DistributionOutlier",
     "Drift",

@@ -36,6 +36,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     Freshness,
     MonotonicPerKey,
     ProfileOutlier,
+    QuantileBounds,
     SchemaMatch,
     TableSpec,
     Unique,
@@ -731,6 +732,28 @@ def validate_table(
                 F.lit(float(fr.max_age)).alias("threshold"),
                 F.lit(0).cast("long").alias("n_violations"),
                 F.lit(fr.description()).alias("description"),
+            )
+        )
+
+    # Pass 1c: quantile bounds — straight off the fused profile's
+    # percentile_approx aggregate; a partition with no non-null values
+    # passes vacuously (metric null; NotNull/CountMatch own absence).
+    for qb in spec.by_type(QuantileBounds):
+        qm = F.col(stats.quantile_metric_col(qb))
+        lo_ok = F.lit(True) if qb.lo is None else qm >= F.lit(float(qb.lo))
+        hi_ok = F.lit(True) if qb.hi is None else qm <= F.lit(float(qb.hi))
+        verdict_parts.append(
+            profile.select(
+                F.lit(spec.name).alias("table"),
+                "partition_id",
+                F.lit(qb.check_id()).alias("check_id"),
+                F.coalesce(lo_ok & hi_ok, F.lit(True)).alias("passed"),
+                qm.cast("double").alias("metric"),
+                F.lit(
+                    float(qb.hi if qb.hi is not None else (qb.lo or 0.0))
+                ).alias("threshold"),
+                F.lit(0).cast("long").alias("n_violations"),
+                F.lit(qb.description()).alias("description"),
             )
         )
 

@@ -472,6 +472,51 @@ class Freshness(Constraint):
 
 
 @dataclass(frozen=True)
+class QuantileBounds(Constraint):
+    """The q-quantile of `col` (or of length(col) with length=True) per
+    partition must lie in [lo, hi] — a distribution contract where
+    InRange is a per-row contract. InRange("len", 0, 10**6) passes a
+    partition whose p99 silently grew 40×; QuantileBounds("content",
+    q=0.99, length=True, hi=...) is the check that catches it (truncated
+    files move p50 down; concatenated/binary-blob files move p99 up —
+    the two corruption shapes the reference's fixed length assertions,
+    etl/test.py:60-128, hand-coded for one table).
+
+    Scale shape: rides the fused profile pass as ONE
+    `percentile_approx` aggregate (KLL-sketch-backed in Spark 4.1:
+    map-side partial sketches, merge on the partition key — raw rows
+    never shuffle, zero extra scans). `accuracy` trades sketch memory
+    for rank error (1/accuracy normalized); while a partition holds
+    ≤ accuracy values the sketch is exact and returns the order
+    statistic at 1-based rank ceil(q·n) — measured on this build, and
+    the contract the small-scale DuckDB oracle states. At production
+    accuracy keep [lo, hi] at least ~3·n/accuracy ranks away from the
+    decision point, same discipline as CardinalityBounds' rsd note.
+
+    A partition with no non-null values passes vacuously (metric null
+    — NotNull/CountMatch own absence, matching CardinalityBounds'
+    ratio-form convention).
+    """
+
+    col: str
+    q: float = 0.99
+    lo: float | None = None
+    hi: float | None = None
+    length: bool = False  # check length(col) instead of col itself
+    accuracy: int = 10_000
+
+    def check_id(self) -> str:
+        target = f"length({self.col})" if self.length else self.col
+        return f"quantile({target},q={self.q})"
+
+    def description(self) -> str:
+        target = f"length({self.col})" if self.length else self.col
+        lo = "-inf" if self.lo is None else self.lo
+        hi = "inf" if self.hi is None else self.hi
+        return f"p{self.q} of {target} must be in [{lo}, {hi}]"
+
+
+@dataclass(frozen=True)
 class Correlation(Constraint):
     """Pearson corr(col_a, col_b) per partition must lie in [lo, hi].
 

@@ -17,6 +17,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     InSet,
     LengthInRange,
     NotNull,
+    QuantileBounds,
     Regex,
     RowCheck,
     TableSpec,
@@ -43,6 +44,12 @@ def north_rule_spec(partition_col: str = "bucket") -> TableSpec:
             # estimate rides the fused pass — zero extra scans
             CardinalityBounds("lang", hi_abs=len(gen.LANGS), mode="approx"),
             LengthInRange("content", 1, 1 << 20),
+            # distribution contract on top of the per-row bound: the
+            # p99 content length must stay inside the corpus envelope
+            # (rides the fused pass as one KLL-backed percentile agg;
+            # catches truncation/blob-concat shifts LengthInRange can't)
+            QuantileBounds("content", q=0.99, length=True,
+                           lo=1.0, hi=float(1 << 20)),
             ForeignKey(("repo",), "repos", ("repo",)),
             # north_star's commit->repo referential shape: a commit hash
             # must belong to exactly one repo (single-valued mapping)

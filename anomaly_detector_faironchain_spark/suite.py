@@ -39,6 +39,7 @@ from anomaly_detector_faironchain_spark.plans.spec import (
     InSet,
     LengthInRange,
     NotNull,
+    QuantileBounds,
     Regex,
     RowCheck,
     SchemaMatch,
@@ -143,6 +144,78 @@ FROM m LEFT JOIN fk USING (partition_id)
 # Fused single-pass per-partition profile (SURVEY §2 A5/A8/A12/A14).
 # One groupBy(partition).agg(...) — exactly the engine's pass-1.
 # ---------------------------------------------------------------------------
+
+def q_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuantileBounds verdicts: distribution contracts (p50/p99 of
+    length(text), p95 of n_chars) per lang partition, bounds chosen so
+    the sf0.01 corpus yields a MIX of pass and fail rows. The metric
+    rides the fused profile pass as a KLL-backed percentile_approx; at
+    oracle scale the sketch is exact (order statistic at rank
+    ceil(q·n) — measured convention, see plans/spec.QuantileBounds)."""
+    docs = _t(spark, sf_dir, "documents")
+    spec = TableSpec(
+        name="documents",
+        partition_col="lang",
+        constraints=(
+            QuantileBounds("text", q=0.5, length=True, lo=295.0, hi=330.0),
+            QuantileBounds("text", q=0.99, length=True, hi=540.0),
+            QuantileBounds("n_chars", q=0.95, lo=450.0),
+        ),
+    )
+    res = validate_table(docs, spec, materialize_violations=False)
+    return res.verdicts.select(
+        "table", "partition_id", "check_id", "passed",
+        F.col("metric").cast("double").alias("metric"),
+    )
+
+
+ORACLE_QUANTILE_BOUNDS = """
+WITH base AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS partition_id,
+         CAST(length(text) AS DOUBLE) AS lv,
+         CAST(n_chars AS DOUBLE) AS nv
+  FROM documents
+), parts AS (
+  SELECT DISTINCT partition_id FROM base
+), lr AS (
+  SELECT partition_id, lv,
+         ROW_NUMBER() OVER (PARTITION BY partition_id ORDER BY lv) AS rn,
+         COUNT(*) OVER (PARTITION BY partition_id) AS n
+  FROM base WHERE lv IS NOT NULL
+), nr AS (
+  SELECT partition_id, nv,
+         ROW_NUMBER() OVER (PARTITION BY partition_id ORDER BY nv) AS rn,
+         COUNT(*) OVER (PARTITION BY partition_id) AS n
+  FROM base WHERE nv IS NOT NULL
+), lq AS (
+  SELECT partition_id,
+         MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN lv END) AS p50,
+         MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN lv END) AS p99
+  FROM lr GROUP BY 1
+), nq AS (
+  SELECT partition_id,
+         MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN nv END) AS p95
+  FROM nr GROUP BY 1
+)
+SELECT 'documents' AS "table", p.partition_id,
+       'quantile(length(text),q=0.5)' AS check_id,
+       COALESCE(lq.p50 BETWEEN 295.0 AND 330.0, TRUE) AS passed,
+       CAST(lq.p50 AS DOUBLE) AS metric
+FROM parts p LEFT JOIN lq ON p.partition_id = lq.partition_id
+UNION ALL
+SELECT 'documents' AS "table", p.partition_id,
+       'quantile(length(text),q=0.99)' AS check_id,
+       COALESCE(lq.p99 <= 540.0, TRUE) AS passed,
+       CAST(lq.p99 AS DOUBLE) AS metric
+FROM parts p LEFT JOIN lq ON p.partition_id = lq.partition_id
+UNION ALL
+SELECT 'documents' AS "table", p.partition_id,
+       'quantile(n_chars,q=0.95)' AS check_id,
+       COALESCE(nq.p95 >= 450.0, TRUE) AS passed,
+       CAST(nq.p95 AS DOUBLE) AS metric
+FROM parts p LEFT JOIN nq ON p.partition_id = nq.partition_id
+"""
+
 
 def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -631,6 +704,7 @@ SELECT 'embeddings', partition_id, 'vector_shape(embedding)',
 QUERIES: dict = {
     "embedding_validation": q_embedding_validation,
     "validation_verdicts": q_validation_verdicts,
+    "quantile_bounds": q_quantile_bounds,
     "profile_stats": q_profile_stats,
     "unique_duplicates": q_unique_duplicates,
     "fk_violations_broadcast": q_fk_violations_broadcast,
@@ -654,6 +728,7 @@ QUERIES.update(suite_curation.QUERIES)
 ORACLES: dict = {
     "embedding_validation": ORACLE_EMBEDDING_VALIDATION,
     "validation_verdicts": ORACLE_VALIDATION_VERDICTS,
+    "quantile_bounds": ORACLE_QUANTILE_BOUNDS,
     "profile_stats": ORACLE_PROFILE_STATS,
     "unique_duplicates": ORACLE_UNIQUE_DUPLICATES,
     "fk_violations_broadcast": ORACLE_FK_VIOLATIONS,
@@ -1583,6 +1658,7 @@ _DRIVER_PRIORITY = [
     "cardinality_ratio",
     "corr_validation",
     "monotonic_violations", "count_reconciliation", "benford_mad",
+    "quantile_bounds",  # round-3 new: QuantileBounds distribution contract
     "motif_fused",  # fused mutual+triangle+egonet kernel (EP2's new default)
     # -- 13 green-in-r1 but dropped by the r2 cap --------------------------
     "mahalanobis", "triangles", "egonet", "final_scores",
