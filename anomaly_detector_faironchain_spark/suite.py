@@ -1669,6 +1669,7 @@ _DRIVER_PRIORITY = [
     "asof_attribution", "interval_follow", "hll_uniqueness_screen",
     "kll_length_quantiles",  # round-3 new: mergeable KLL length profile
     "tdigest_length_profile",  # round-3 new: mergeable t-digest profile
+    "heavy_hitters",  # round-3 new: mergeable Misra-Gries skew sketch
     "snapshot_incremental",  # round-3 new: snapshot commit/time-travel/diff
     "key_skew",
     "train_split", "corpus_mixture", "doc_chunks", "token_packing",

@@ -359,12 +359,45 @@ FROM est GROUP BY 1
 """
 
 
+# -- mergeable Misra-Gries heavy hitters -------------------------------------
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 heaviest event users from MERGEABLE Misra-Gries summaries
+    (the skew-diagnosis sketch: ≤k counter rows shuffle per task, never
+    the #distinct-wide count aggregation). At oracle scale the data
+    holds ≤ k distinct keys end-to-end, so the summary is in exact mode
+    (no decrements, err_bound = 0) and est_count is the plain GROUP BY
+    count the oracle states. See operators/heavyhitters.py."""
+    from anomaly_detector_faironchain_spark.operators.heavyhitters import (
+        heavy_hitters,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", k=1024, top_n=15).select(
+        "key",
+        F.col("est_count").cast("long").alias("est_count"),
+        F.col("err_bound").cast("long").alias("err_bound"),
+    )
+
+
+ORACLE_HEAVY_HITTERS = """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound
+FROM events WHERE user_id IS NOT NULL
+GROUP BY 1
+ORDER BY est_count DESC, key ASC
+LIMIT 15
+"""
+
+
 QUERIES = {
     "asof_attribution": q_asof_attribution,
     "interval_follow": q_interval_follow,
     "hll_uniqueness_screen": q_hll_uniqueness_screen,
     "kll_length_quantiles": q_kll_length_quantiles,
     "tdigest_length_profile": q_tdigest_length_profile,
+    "heavy_hitters": q_heavy_hitters,
     "snapshot_incremental": q_snapshot_incremental,
 }
 ORACLES = {
@@ -373,5 +406,6 @@ ORACLES = {
     "hll_uniqueness_screen": ORACLE_HLL_UNIQUENESS_SCREEN,
     "kll_length_quantiles": ORACLE_KLL_LENGTH_QUANTILES,
     "tdigest_length_profile": ORACLE_TDIGEST_LENGTH_PROFILE,
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "snapshot_incremental": ORACLE_SNAPSHOT_INCREMENTAL,
 }
