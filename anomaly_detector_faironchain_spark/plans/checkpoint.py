@@ -181,6 +181,69 @@ def corpus_tdigest_quantiles(
     return tdigest_quantiles(latest, quantiles, merged=True, delta=delta)
 
 
+MG_SKETCH_DIR = "mg_sketches"
+
+
+def write_heavyhitter_sketches(
+    df: DataFrame, key_col: str, out_dir: str, run_id: str, k: int = 1024
+) -> None:
+    """Persist this run's Misra-Gries key summaries (≤ k+1 plain rows per
+    task — parquet, no sketch library needed to read). MG summaries are
+    MERGEABLE with an additive error bound, so corpus-level heavy
+    hitters across every run so far come from KBs of counters: the skew
+    keys that need salting are known BEFORE the next run plans its
+    joins, without rescanning completed data."""
+    from anomaly_detector_faironchain_spark.operators.heavyhitters import (
+        mg_partition_sketches,
+    )
+
+    sk = mg_partition_sketches(df, key_col, k=k)
+    (
+        sk.withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .parquet(str(Path(out_dir) / MG_SKETCH_DIR))
+    )
+
+
+def corpus_heavy_hitters(
+    spark, out_dir: str, k: int = 1024, top_n: int = 20
+):
+    """Merge every persisted MG summary (ALL runs — counts accumulate
+    across runs, unlike the latest-wins distribution sketches: a key's
+    total frequency is the SUM over runs) into one corpus top-n frame
+    (key, est_count, err_bound)."""
+    import pandas as pd
+
+    from anomaly_detector_faironchain_spark.operators.heavyhitters import (
+        _mg_update,
+    )
+
+    path = Path(out_dir) / MG_SKETCH_DIR
+    sk = spark.read.parquet(str(path))
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        decs = int(pdf.loc[pdf["key"].isna(), "dec"].sum())
+        counts = pdf.dropna(subset=["key"]).groupby("key")["cnt"].sum()
+        counters, decs = _mg_update({}, decs, counts, k)
+        out = pd.DataFrame(
+            {"key": list(counters), "est_count": list(counters.values())}
+        )
+        out["err_bound"] = decs
+        out = out.sort_values(
+            ["est_count", "key"], ascending=[False, True]
+        ).head(top_n)
+        return out.reset_index(drop=True)
+
+    return (
+        sk.withColumn("__g__", F.lit(0))
+        .groupBy("__g__")
+        .applyInPandas(
+            lambda pdf: merge(pdf),
+            schema="key string, est_count long, err_bound long",
+        )
+    )
+
+
 def _drift_params(d) -> str:
     """Bucketing identity of a Drift constraint. Two histograms are only
     comparable when this matches — bucket ids are integers, so a changed

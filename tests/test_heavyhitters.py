@@ -71,3 +71,21 @@ def test_mg_update_deterministic():
     assert c1 == c2 and d1 == d2
     # cut = 4th largest (2): a=8, b=6, c=3 remain; decrement mass 2
     assert c1 == {"a": 8, "b": 6, "c": 3} and d1 == 2
+
+
+def test_checkpoint_heavyhitters_across_runs(spark, tmp_path):
+    from anomaly_detector_faironchain_spark.plans.checkpoint import (
+        corpus_heavy_hitters,
+        write_heavyhitter_sketches,
+    )
+
+    out = str(tmp_path / "hh")
+    r1 = spark.createDataFrame([("a",)] * 30 + [("b",)] * 10, "user string")
+    r2 = spark.createDataFrame([("b",)] * 25 + [("c",)] * 5, "user string")
+    write_heavyhitter_sketches(r1, "user", out, run_id="r1", k=64)
+    write_heavyhitter_sketches(r2, "user", out, run_id="r2", k=64)
+    got = corpus_heavy_hitters(spark, out, k=64, top_n=3).toPandas()
+    # counts ACCUMULATE across runs (b: 10 + 25 = 35), exact mode
+    assert list(got["key"]) == ["b", "a", "c"]
+    assert list(got["est_count"]) == [35, 30, 5]
+    assert (got["err_bound"] == 0).all()
