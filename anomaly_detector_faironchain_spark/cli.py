@@ -90,6 +90,17 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--csv", action="store_true",
                    help="also write each abstract table as CSV")
 
+    k = sub.add_parser("skew", help="pre-join skew diagnosis: top heavy "
+                                    "keys via mergeable Misra-Gries "
+                                    "summaries (bounded k-row shuffle)")
+    k.add_argument("--input", required=True, help="table to diagnose")
+    k.add_argument("--key", required=True, help="prospective join/group key")
+    k.add_argument("--k", type=int, default=1024,
+                   help="summary size (keys with freq > n/(k+1) guaranteed)")
+    k.add_argument("--top", type=int, default=20)
+    k.add_argument("--format", default="parquet",
+                   choices=["parquet", "csv", "iceberg", "table"])
+
     s = sub.add_parser("serve", help="EP3: HTTP endpoints over results")
     s.add_argument("--data-root", required=True,
                    help="root of {chain}/{YYYY}/{MM}/ monthly result parquet")
@@ -107,6 +118,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_analyze(spark, args)
     if args.cmd == "serve":
         return _run_serve(spark, args)
+    if args.cmd == "skew":
+        return _run_skew(spark, args)
 
     refs = {}
     for spec_str in args.ref:
@@ -275,6 +288,30 @@ def _run_analyze(spark: SparkSession, args) -> int:
             "header", True).csv(f"{args.out.rstrip('/')}_csv")
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"status": "complete", "out": args.out, "accounts": n}))
+    return 0
+
+
+def _run_skew(spark: SparkSession, args) -> int:
+    """Print the heavy-hitter head of a prospective key as JSON — run
+    BEFORE planning a big join to pick broadcast vs salt vs AQE."""
+    import json as _json
+
+    from anomaly_detector_faironchain_spark.operators.heavyhitters import (
+        heavy_hitters,
+    )
+    from anomaly_detector_faironchain_spark.sources import load_table
+
+    df = load_table(spark, args.input, args.format)
+    rows = heavy_hitters(df, args.key, k=args.k, top_n=args.top).collect()
+    print(_json.dumps({
+        "key_col": args.key,
+        "k": args.k,
+        "hitters": [
+            {"key": r.key, "est_count": r.est_count,
+             "err_bound": r.err_bound}
+            for r in rows
+        ],
+    }))
     return 0
 
 

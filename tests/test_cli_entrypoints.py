@@ -130,3 +130,17 @@ def test_cli_validate_snapshot_mode(spark, tmp_path, capsys):
     rc = cli.main(args)
     s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and s3["status"] == "complete" and s3["snapshot"] == 2
+
+
+def test_cli_skew_reports_heavy_keys(spark, tmp_path, capsys):
+    src = str(tmp_path / "skewed")
+    spark.createDataFrame(
+        [("mega",)] * 500 + [(f"k{i}",) for i in range(50)], "repo string"
+    ).write.parquet(src)
+    rc = cli.main(["skew", "--input", src, "--key", "repo", "--top", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["key_col"] == "repo"
+    assert out["hitters"][0] == {
+        "key": "mega", "est_count": 500, "err_bound": 0
+    }
+    assert len(out["hitters"]) == 3
