@@ -9,6 +9,7 @@ alongside it the suite queries are timed individually.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -180,6 +181,17 @@ def main() -> None:
     spark.range(1000).count()
     suite.QUERIES["pricing_summary"](spark, sf_dir).collect()
 
+    # IO pre-warm + stamp: touch every input table once so per-query
+    # timings measure the plan, not the page-cache state. The CPU canary
+    # CANNOT see IO-cold windows (measured: canaries ~1000 MIPS while
+    # throughput sat 10x down on cold parquet — BENCH/BASELINE.md,
+    # round-3 anomaly investigation); io_warm_sec makes that state
+    # visible in the bench JSON instead.
+    t0 = time.time()
+    for f in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+        spark.read.parquet(f).count()
+    io_warm_sec = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = suite.QUERIES[name]
@@ -211,6 +223,7 @@ def main() -> None:
         # host-health stamps: compare against canary_ceiling_mips —
         # a window where these sit far below ceiling is host
         # contamination, not a code regression (BENCH/BASELINE.md)
+        "io_warm_sec": io_warm_sec,
         "canary_pre_mips": canary_pre,
         "canary_post_mips": canary_post,
         "canary_ceiling_mips": CANARY_CEILING_MIPS,
