@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
                         "file (plans.serde format) instead of the built-in "
                         "north-rule suite; the file's partition_col wins "
                         "over --partition-col")
+    v.add_argument("--report", action="store_true",
+                   help="also write a human-readable markdown report "
+                        "(per-check pass rates, failing partitions, "
+                        "violation samples) to OUT/report.md")
     v.add_argument("--snapshot", action="store_true",
                    help="treat --input as a plans.snapshots.SnapshotTable "
                         "dir and validate ONLY snapshots appended since "
@@ -180,6 +184,16 @@ def main(argv: list[str] | None = None) -> int:
         "passed": result.passed(),
         "partitions": result.profile.count(),
     }
+    if args.report:
+        from pathlib import Path
+
+        from anomaly_detector_faironchain_spark.plans.report import (
+            render_report,
+        )
+
+        rp = Path(args.out) / "report.md"
+        rp.write_text(render_report(result), encoding="utf-8")
+        summary["report"] = str(rp)
     if args.quarantine:
         from anomaly_detector_faironchain_spark.plans.quarantine import (
             split_rows,

@@ -144,3 +144,32 @@ def test_cli_skew_reports_heavy_keys(spark, tmp_path, capsys):
         "key": "mega", "est_count": 500, "err_bound": 0
     }
     assert len(out["hitters"]) == 3
+
+
+def test_cli_validate_report_flag(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(i, "en" if i % 5 else "xx", f"t{i}") for i in range(50)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(src)
+    import json as _json
+    spec = {
+        "table": "docs", "partition_col": "lang",
+        "constraints": [
+            {"type": "NotNull", "cols": ["doc_id"]},
+            {"type": "InSet", "col": "lang", "values": ["en"]},
+        ],
+    }
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(_json.dumps(spec))
+    out = str(tmp_path / "rep_out")
+    rc = cli.main([
+        "validate", "--input", src, "--out", out,
+        "--spec", str(spec_file), "--report",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and not summary["passed"]  # xx rows violate InSet
+    report = (tmp_path / "rep_out" / "report.md").read_text()
+    assert "Overall: FAIL" in report
+    assert "in_set(lang)" in report and "Violation samples" in report
+    assert "`xx`" in report  # the failing partition is named
