@@ -44,3 +44,56 @@ def test_zip_build_is_deterministic(tmp_path):
     package_pyfiles.build(b)
     with open(a, "rb") as fa, open(b, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
+    """The north rule's launch shape, literally: `spark-submit
+    --py-files adfs.zip cli.py validate ...` in a fresh JVM, with the
+    repo checkout NOT importable (the driver script's dir is the
+    package dir, whose PARENT is what imports need — so every import
+    must resolve from the zip)."""
+    import json
+    import shutil
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(i, "en", f"t{i}") for i in range(40)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(src)
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(json.dumps({
+        "table": "docs", "partition_col": "lang",
+        "constraints": [
+            {"type": "NotNull", "cols": ["doc_id", "text"]},
+            {"type": "InSet", "col": "lang", "values": ["en"]},
+        ],
+    }))
+
+    zip_path = str(tmp_path / "adfs.zip")
+    package_pyfiles.build(zip_path)
+    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    cli_script = os.path.join(
+        repo_root, "anomaly_detector_faironchain_spark", "cli.py"
+    )
+    out = str(tmp_path / "ck")
+    r = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, cli_script,
+         "validate", "--input", src, "--out", out,
+         "--spec", str(spec_file), "--report"],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": ""}, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["passed"] and summary["partitions"] == 1
+    assert (tmp_path / "ck" / "report.md").read_text().startswith(
+        "# Validation report"
+    )
