@@ -1636,6 +1636,147 @@ ORACLES.update({"schema_match": ORACLE_SCHEMA_MATCH})
 
 
 # ---------------------------------------------------------------------------
+# Sample-first validation with exact escalation (operators/sampled.py).
+# The 100 TB screen: certify each (partition, check) from a deterministic
+# md5-prefix sample when the Wilson interval clears the tolerance either
+# way; full-scan ONLY the undecided band. Corruption is injected
+# deterministically so all three outcomes occur: status F fails from the
+# sample alone (~3% violations vs 1% tolerance), status O passes from the
+# sample alone (0 violations, n large enough that UCB < 1%), and the
+# small P partition is undecidable at the sample size → exact scan.
+# ---------------------------------------------------------------------------
+
+def q_sampled_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detector_faironchain_spark.operators.sampled import (
+        sampled_row_screen,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    corrupted = o.select(
+        "o_orderkey", "o_orderstatus",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 31 == 0),
+            F.lit(-1.0),
+        )
+        .when(
+            (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 47 == 0),
+            F.lit(-1.0),
+        )
+        .when(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 103 == 0),
+            F.lit(-1.0),
+        )
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    spec = TableSpec(
+        name="orders",
+        partition_col="o_orderstatus",
+        constraints=(InRange("price", 0.0, 1e9), NotNull("priority")),
+    )
+    return sampled_row_screen(
+        corrupted, spec, sample_key="o_orderkey", fraction=0.2, tolerance=0.01
+    )
+
+
+_SAMP_Z = 2.5758293035489004  # operators/sampled.Z_99
+_SAMP_Z2 = _SAMP_Z * _SAMP_Z
+_SAMP_THR = format(int(round(0.2 * 65536)), "04x")  # md5-prefix bound
+
+# Wilson bounds with the IDENTICAL parenthesization as operators/
+# sampled._wilson so both engines evaluate the same IEEE expression tree.
+_SAMP_WILSON = f"""
+  ROUND((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+          + {_SAMP_Z2!r} / (2.0 * CAST(n AS DOUBLE)))
+         / (1.0 + {_SAMP_Z2!r} / CAST(n AS DOUBLE)))
+        - ({_SAMP_Z!r} * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / CAST(n AS DOUBLE)
+               + {_SAMP_Z2!r} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1.0 + {_SAMP_Z2!r} / CAST(n AS DOUBLE))), 9) AS lcb,
+  ROUND((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+          + {_SAMP_Z2!r} / (2.0 * CAST(n AS DOUBLE)))
+         / (1.0 + {_SAMP_Z2!r} / CAST(n AS DOUBLE)))
+        + ({_SAMP_Z!r} * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / CAST(n AS DOUBLE)
+               + {_SAMP_Z2!r} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1.0 + {_SAMP_Z2!r} / CAST(n AS DOUBLE))), 9) AS ucb
+"""
+
+ORACLE_SAMPLED_SCREEN = f"""
+WITH src AS (
+  SELECT o_orderkey AS id,
+         COALESCE(CAST(o_orderstatus AS VARCHAR), '__null__') AS pid,
+         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 31 = 0 THEN -1.0
+              WHEN o_orderstatus = 'P' AND o_orderkey % 47 = 0 THEN -1.0
+              WHEN o_orderstatus = 'O' AND o_orderkey % 103 = 0 THEN -1.0
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+         o_orderpriority AS priority
+  FROM orders
+), samp AS (
+  SELECT * FROM src
+  WHERE substr(md5(CAST(id AS VARCHAR)), 1, 4) < '{_SAMP_THR}'
+), counts AS (
+  SELECT pid, COUNT(*) AS n,
+    SUM(CASE WHEN price IS NOT NULL
+              AND NOT (price BETWEEN 0.0 AND 1000000000.0)
+         THEN 1 ELSE 0 END) AS k_range,
+    SUM(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS k_null
+  FROM samp GROUP BY 1
+), grid AS (
+  SELECT DISTINCT pid FROM src
+), melted AS (
+  SELECT g.pid, 'in_range(price)' AS check_id,
+         COALESCE(c.n, 0) AS n, COALESCE(c.k_range, 0) AS k
+  FROM grid g LEFT JOIN counts c ON g.pid = c.pid
+  UNION ALL
+  SELECT g.pid, 'not_null(priority)',
+         COALESCE(c.n, 0), COALESCE(c.k_null, 0)
+  FROM grid g LEFT JOIN counts c ON g.pid = c.pid
+), wilson AS (
+  SELECT pid, check_id, n, k,
+  {_SAMP_WILSON}
+  FROM melted
+), decided AS (
+  SELECT pid, check_id, n, k, lcb, ucb,
+    CASE WHEN n = 0 THEN 'escalate'
+         WHEN ucb <= 0.01 THEN 'pass'
+         WHEN lcb > 0.01 THEN 'fail'
+         ELSE 'escalate' END AS decision
+  FROM wilson
+), esc AS (
+  SELECT pid, check_id FROM decided WHERE decision = 'escalate'
+), exact AS (
+  SELECT s.pid, e.check_id, COUNT(*) AS n,
+    SUM(CASE WHEN e.check_id = 'in_range(price)'
+         THEN (CASE WHEN s.price IS NOT NULL
+                     AND NOT (s.price BETWEEN 0.0 AND 1000000000.0)
+                THEN 1 ELSE 0 END)
+         ELSE (CASE WHEN s.priority IS NULL THEN 1 ELSE 0 END) END) AS k
+  FROM src s JOIN esc e ON s.pid = e.pid
+  GROUP BY 1, 2
+)
+SELECT 'orders' AS "table", pid AS partition_id, check_id,
+       'sample' AS method,
+       CAST(n AS BIGINT) AS n_scanned, CAST(k AS BIGINT) AS n_violations,
+       ucb AS rate_ucb, lcb AS rate_lcb,
+       (decision = 'pass') AS passed
+FROM decided WHERE decision <> 'escalate'
+UNION ALL
+SELECT 'orders', pid, check_id, 'exact',
+       CAST(n AS BIGINT), CAST(k AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) <= 0.01)
+FROM exact
+"""
+
+QUERIES.update({"sampled_screen": q_sampled_screen})
+ORACLES.update({"sampled_screen": ORACLE_SAMPLED_SCREEN})
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing registry order.
 #
 # The correctness driver checks the FIRST 50 entries of queries() in dict
@@ -1683,6 +1824,7 @@ _DRIVER_PRIORITY = [
     "dedup_keepers",               # left-join + nulls-last retention
     "domain_quota",                # two-phase top-k cap_per_group
     "quarantine_split",            # round-3 new: row-level quarantine
+    "sampled_screen",              # round-3 new: sample-first screen + escalation
     # -- north-rule validation core (keep inside the cap every round) ------
     "embedding_validation", "validation_verdicts", "profile_stats",
     "unique_duplicates", "fk_violations_broadcast", "fk_violations_salted",
