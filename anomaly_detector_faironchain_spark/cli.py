@@ -105,6 +105,27 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--format", default="parquet",
                    choices=["parquet", "csv", "iceberg", "table"])
 
+    sc = sub.add_parser(
+        "screen",
+        help="sample-first validation screen: certify per-partition "
+             "row-check verdicts from a deterministic hash sample, exact-"
+             "scan only the undecided partitions",
+    )
+    sc.add_argument("--input", required=True, help="table to screen")
+    sc.add_argument("--out", required=True, help="verdict parquet dir")
+    sc.add_argument("--key", required=True,
+                    help="sample key column (stable row id)")
+    sc.add_argument("--fraction", type=float, default=0.01,
+                    help="sampling fraction (16-bit md5-prefix grain)")
+    sc.add_argument("--tolerance", type=float, default=0.0,
+                    help="max tolerated violation rate per (partition, check)")
+    sc.add_argument("--partition-col", default="bucket")
+    sc.add_argument("--spec", default=None, metavar="SUITE_JSON",
+                    help="single-table suite document (default: the "
+                         "north-rule spec)")
+    sc.add_argument("--format", default="parquet",
+                    choices=["parquet", "csv", "table"])
+
     s = sub.add_parser("serve", help="EP3: HTTP endpoints over results")
     s.add_argument("--data-root", required=True,
                    help="root of {chain}/{YYYY}/{MM}/ monthly result parquet")
@@ -124,6 +145,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_serve(spark, args)
     if args.cmd == "skew":
         return _run_skew(spark, args)
+    if args.cmd == "screen":
+        return _run_screen(spark, args)
 
     refs = {}
     for spec_str in args.ref:
@@ -255,6 +278,63 @@ def _run_suite_validate(spark: SparkSession, args, specs, inputs,
     summary["passed"] = all_passed
     print(json.dumps(summary))
     return 0 if all_passed else 2
+
+
+def _run_screen(spark: SparkSession, args) -> int:
+    """Sample-first screen over one table: the 100 TB fast path when an
+    exact count is only needed inside the undecided band. Writes the
+    verdict frame and prints a JSON summary with the certified/escalated
+    split — the decision evidence for whether a full `validate` run is
+    even required."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detector_faironchain_spark.operators.sampled import (
+        sampled_row_screen,
+    )
+
+    if args.spec:
+        from anomaly_detector_faironchain_spark.plans.serde import (
+            suite_from_json,
+        )
+
+        with open(args.spec, encoding="utf-8") as fh:
+            specs, _inputs = suite_from_json(fh.read())
+        if len(specs) != 1:
+            print(json.dumps({"error": "screen takes a single-table suite"}))
+            return 1
+        spec = next(iter(specs.values()))
+    else:
+        spec = north_rule_spec(partition_col=args.partition_col)
+
+    df = load_table(spark, args.input, args.format)
+    verdicts = sampled_row_screen(
+        df, spec, sample_key=args.key,
+        fraction=args.fraction, tolerance=args.tolerance,
+    )
+    verdicts.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    agg = back.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("passed")).cast("long")).alias("failed"),
+        F.sum("n_scanned").alias("rows_scanned"),
+    ).collect()
+    summary = {
+        "status": "complete",
+        "out": args.out,
+        "fraction": args.fraction,
+        "tolerance": args.tolerance,
+        "passed": back.filter(~F.col("passed")).limit(1).count() == 0,
+        "by_method": {
+            r["method"]: {
+                "verdicts": r["n"],
+                "failed": int(r["failed"]),
+                "rows_scanned": int(r["rows_scanned"]),
+            }
+            for r in agg
+        },
+    }
+    print(json.dumps(summary))
+    return 0 if summary["passed"] else 2
 
 
 def _run_etl(spark: SparkSession, args) -> int:

@@ -173,3 +173,43 @@ def test_cli_validate_report_flag(spark, tmp_path, capsys):
     assert "Overall: FAIL" in report
     assert "in_set(lang)" in report and "Violation samples" in report
     assert "`xx`" in report  # the failing partition is named
+
+
+def test_cli_screen_certifies_and_escalates(spark, tmp_path, capsys):
+    """`cli screen`: sample-first verdicts over a source_files table with
+    one deliberately corrupted bucket — the screen must fail overall, and
+    the summary must account rows_scanned per method."""
+    from anomaly_detector_faironchain_spark.datagen import (
+        source_files as gen,
+    )
+    from pyspark.sql import functions as F
+
+    files = gen.generate_source_files(spark, 6000, seed=13)
+    full = files.join(gen.manifest(files), "file_sid")
+    # corrupt ~25% of bucket 3's shas -> certified fail from the sample
+    corrupted = full.withColumn(
+        "content_sha256",
+        F.when(
+            (F.col("bucket") == 3) & (F.xxhash64("file_sid") % 4 == 0),
+            F.lit("0" * 64),
+        ).otherwise(F.col("content_sha256")),
+    )
+    inp = str(tmp_path / "screen_in")
+    corrupted.write.parquet(inp)
+
+    out = str(tmp_path / "screen_out")
+    rc = cli.main([
+        "screen", "--input", inp, "--out", out, "--key", "file_sid",
+        "--fraction", "0.2", "--tolerance", "0.01",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and summary["passed"] is False
+    assert summary["by_method"]["sample"]["failed"] >= 1
+    back = spark.read.parquet(out)
+    # the corrupted bucket's sha check must be a certified-fail sample row
+    bad = back.filter(
+        (F.col("partition_id") == "3")
+        & (F.col("check_id") == "row_check(sha_invariant)")
+    ).collect()
+    assert len(bad) == 1 and bad[0]["passed"] is False
+    assert bad[0]["method"] == "sample"
