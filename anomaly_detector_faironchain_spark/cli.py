@@ -126,6 +126,27 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--format", default="parquet",
                     choices=["parquet", "csv", "table"])
 
+    g = sub.add_parser(
+        "suggest",
+        help="profile an unknown table and propose a constraint spec "
+             "(plans/suggest.py): prints the evidence table, optionally "
+             "writes a plans.serde suite JSON ready for `validate --spec`",
+    )
+    g.add_argument("--input", required=True, help="table to profile")
+    g.add_argument("--name", default="table", help="table name in the spec")
+    g.add_argument("--partition-col", default=None,
+                   help="partition column recorded in the suggested spec")
+    g.add_argument("--max-domain", type=int, default=20,
+                   help="max distinct values for an InSet suggestion")
+    g.add_argument("--exact", action="store_true",
+                   help="exact distinct counts (certifies Unique; Expand-"
+                        "heavy — use on a sample at scale). Default: HLL "
+                        "screen that suggests approx_screen Unique checks")
+    g.add_argument("--out", default=None, metavar="SPEC_JSON",
+                   help="write the suggested spec as a serde spec document")
+    g.add_argument("--format", default="parquet",
+                   choices=["parquet", "csv", "iceberg", "table"])
+
     s = sub.add_parser("serve", help="EP3: HTTP endpoints over results")
     s.add_argument("--data-root", required=True,
                    help="root of {chain}/{YYYY}/{MM}/ monthly result parquet")
@@ -147,6 +168,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_skew(spark, args)
     if args.cmd == "screen":
         return _run_screen(spark, args)
+    if args.cmd == "suggest":
+        return _run_suggest(spark, args)
 
     refs = {}
     for spec_str in args.ref:
@@ -335,6 +358,37 @@ def _run_screen(spark: SparkSession, args) -> int:
     }
     print(json.dumps(summary))
     return 0 if summary["passed"] else 2
+
+
+def _run_suggest(spark: SparkSession, args) -> int:
+    """Profile → suggested TableSpec → (optionally) a serde spec JSON
+    that `validate --spec` runs unchanged. The human reviews the printed
+    evidence table before promoting the spec — suggestions generalize
+    OBSERVED behavior, they are not ground truth."""
+    from anomaly_detector_faironchain_spark.plans.serde import spec_to_json
+    from anomaly_detector_faironchain_spark.plans.suggest import (
+        suggest_constraints,
+    )
+
+    df = load_table(spark, args.input, args.format)
+    rep = suggest_constraints(
+        df, args.name, max_domain=args.max_domain,
+        distinct_mode="exact" if args.exact else "approx",
+    )
+    for s in rep.suggestions:
+        print(f"{s.column:24s} {s.kind:16s} {s.constraint.check_id():40s}"
+              f" # {s.evidence}")
+    summary = {
+        "status": "complete", "table": args.name, "rows": rep.n_rows,
+        "distinct_mode": rep.distinct_mode,
+        "n_suggestions": len(rep.suggestions),
+    }
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as fh:
+            fh.write(spec_to_json(rep.spec(partition_col=args.partition_col)))
+        summary["spec"] = args.out
+    print(json.dumps(summary))
+    return 0
 
 
 def _run_etl(spark: SparkSession, args) -> int:

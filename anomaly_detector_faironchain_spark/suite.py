@@ -1777,6 +1777,112 @@ ORACLES.update({"sampled_screen": ORACLE_SAMPLED_SCREEN})
 
 
 # ---------------------------------------------------------------------------
+# Constraint suggestion: profile an unknown table, propose a TableSpec
+# (plans/suggest.py — the Deequ-suggestion analogue for this engine's
+# constraint vocabulary). The oracle re-derives the SAME rule table from
+# the SAME profile stats in SQL, so a drifted rule OR a wrong profile
+# metric both surface as a mismatch.
+# ---------------------------------------------------------------------------
+
+def q_suggested_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggestions for the documents table in exact-distinct mode (the
+    oracle mode — bit-exact counts; the scale default is HLL, see
+    plans/suggest.py docstring). The result is metadata-sized
+    (O(columns)), so driver-side row construction is the right plan."""
+    from anomaly_detector_faironchain_spark.plans.suggest import (
+        suggest_constraints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = suggest_constraints(docs, "documents", distinct_mode="exact")
+    return spark.createDataFrame(
+        rep.to_rows(),
+        "col_name string, kind string, lo double, hi double, detail string",
+    )
+
+
+ORACLE_SUGGESTED_CONSTRAINTS = """
+WITH stats AS (
+  SELECT 'doc_id' AS col_name, 'num' AS ctype, COUNT(*) AS n,
+         SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nulls,
+         COUNT(DISTINCT doc_id) AS dist,
+         CAST(MIN(doc_id) AS DOUBLE) AS vmin, CAST(MAX(doc_id) AS DOUBLE) AS vmax,
+         CAST(NULL AS DOUBLE) AS lmin, CAST(NULL AS DOUBLE) AS lmax,
+         CAST(NULL AS BIGINT) AS dig, CAST(NULL AS BIGINT) AS hexn,
+         CAST(NULL AS VARCHAR) AS dom
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', 'num', COUNT(*),
+         SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT n_chars),
+         CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+         NULL, NULL, NULL, NULL, NULL
+  FROM documents
+  UNION ALL
+  SELECT 'text', 'str', COUNT(*),
+         SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT text), NULL, NULL,
+         CAST(MIN(LENGTH(text)) AS DOUBLE), CAST(MAX(LENGTH(text)) AS DOUBLE),
+         SUM(CASE WHEN LENGTH(text) <= 256
+                   AND regexp_full_match(text, '[0-9]+') THEN 1 ELSE 0 END),
+         SUM(CASE WHEN LENGTH(text) <= 256
+                   AND regexp_full_match(text, '[0-9a-f]+') THEN 1 ELSE 0 END),
+         CASE WHEN COUNT(DISTINCT text) BETWEEN 2 AND 20
+              THEN string_agg(DISTINCT text, ',' ORDER BY text) END
+  FROM documents
+  UNION ALL
+  SELECT 'lang', 'str', COUNT(*),
+         SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT lang), NULL, NULL,
+         CAST(MIN(LENGTH(lang)) AS DOUBLE), CAST(MAX(LENGTH(lang)) AS DOUBLE),
+         SUM(CASE WHEN LENGTH(lang) <= 256
+                   AND regexp_full_match(lang, '[0-9]+') THEN 1 ELSE 0 END),
+         SUM(CASE WHEN LENGTH(lang) <= 256
+                   AND regexp_full_match(lang, '[0-9a-f]+') THEN 1 ELSE 0 END),
+         CASE WHEN COUNT(DISTINCT lang) BETWEEN 2 AND 20
+              THEN string_agg(DISTINCT lang, ',' ORDER BY lang) END
+  FROM documents
+  UNION ALL
+  SELECT 'source', 'str', COUNT(*),
+         SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT source), NULL, NULL,
+         CAST(MIN(LENGTH(source)) AS DOUBLE), CAST(MAX(LENGTH(source)) AS DOUBLE),
+         SUM(CASE WHEN LENGTH(source) <= 256
+                   AND regexp_full_match(source, '[0-9]+') THEN 1 ELSE 0 END),
+         SUM(CASE WHEN LENGTH(source) <= 256
+                   AND regexp_full_match(source, '[0-9a-f]+') THEN 1 ELSE 0 END),
+         CASE WHEN COUNT(DISTINCT source) BETWEEN 2 AND 20
+              THEN string_agg(DISTINCT source, ',' ORDER BY source) END
+  FROM documents
+), s AS (SELECT *, n - nulls AS non_null FROM stats WHERE n - nulls > 0)
+SELECT col_name, 'not_null' AS kind, CAST(NULL AS DOUBLE) AS lo,
+       CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS VARCHAR) AS detail
+FROM s WHERE nulls = 0
+UNION ALL
+SELECT col_name, 'unique', NULL, NULL, NULL
+FROM s WHERE nulls = 0 AND dist = non_null
+UNION ALL
+SELECT col_name, 'in_range', vmin, vmax, NULL FROM s WHERE ctype = 'num'
+UNION ALL
+SELECT col_name, 'in_set', NULL, NULL, dom
+FROM s WHERE ctype = 'str' AND dist BETWEEN 2 AND 20
+UNION ALL
+SELECT col_name, 'length_in_range', lmin, lmax, NULL
+FROM s WHERE ctype = 'str' AND dist NOT BETWEEN 2 AND 20
+UNION ALL
+SELECT col_name, 'regex', NULL, NULL,
+       CASE WHEN dig = non_null THEN '[0-9]+'
+            WHEN lmin = lmax THEN '[0-9a-f]{' || CAST(CAST(lmin AS BIGINT) AS VARCHAR) || '}'
+            ELSE '[0-9a-f]+' END
+FROM s WHERE ctype = 'str' AND dist NOT BETWEEN 2 AND 20
+  AND (dig = non_null OR hexn = non_null)
+"""
+
+QUERIES.update({"suggested_constraints": q_suggested_constraints})
+ORACLES.update({"suggested_constraints": ORACLE_SUGGESTED_CONSTRAINTS})
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing registry order.
 #
 # The correctness driver checks the FIRST 50 entries of queries() in dict
@@ -1825,6 +1931,7 @@ _DRIVER_PRIORITY = [
     "domain_quota",                # two-phase top-k cap_per_group
     "quarantine_split",            # round-3 new: row-level quarantine
     "sampled_screen",              # round-3 new: sample-first screen + escalation
+    "suggested_constraints",       # round-3 new: profile -> proposed TableSpec
     # -- north-rule validation core (keep inside the cap every round) ------
     "embedding_validation", "validation_verdicts", "profile_stats",
     "unique_duplicates", "fk_violations_broadcast", "fk_violations_salted",
