@@ -142,6 +142,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="exact distinct counts (certifies Unique; Expand-"
                         "heavy — use on a sample at scale). Default: HLL "
                         "screen that suggests approx_screen Unique checks")
+    g.add_argument("--fd", action="append", default=[], metavar="DET->DEP",
+                   help="functional-dependency candidate to screen, e.g. "
+                        "commit->repo or path,commit->repo (repeatable)")
     g.add_argument("--out", default=None, metavar="SPEC_JSON",
                    help="write the suggested spec as a serde spec document")
     g.add_argument("--format", default="parquet",
@@ -370,10 +373,18 @@ def _run_suggest(spark: SparkSession, args) -> int:
         suggest_constraints,
     )
 
+    fd_candidates = []
+    for spec_str in args.fd:
+        det, _, dep = spec_str.partition("->")
+        if not dep:
+            raise SystemExit(f"--fd wants DET->DEP, got: {spec_str}")
+        fd_candidates.append((tuple(det.split(",")), dep))
+
     df = load_table(spark, args.input, args.format)
     rep = suggest_constraints(
         df, args.name, max_domain=args.max_domain,
         distinct_mode="exact" if args.exact else "approx",
+        fd_candidates=tuple(fd_candidates),
     )
     for s in rep.suggestions:
         print(f"{s.column:24s} {s.kind:16s} {s.constraint.check_id():40s}"

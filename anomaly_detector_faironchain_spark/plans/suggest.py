@@ -45,6 +45,7 @@ Suggestion rules (deterministic — same profile in, same spec out):
   numeric          | observed value bounds (min < max ok,   | InRange(col, min, max)
                    | min == max also valid)                 |
   array<float/dbl> | every row has the same size            | VectorShape(col, dim)
+  fd candidate     | mapping single-valued on observed keys | FunctionalDependency(det, dep)
 
 A column whose every value is NULL gets no suggestions (there is no
 evidence to generalize). The suggested spec is self-consistent by
@@ -60,6 +61,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from anomaly_detector_faironchain_spark.plans.spec import (
     Constraint,
+    FunctionalDependency,
     InRange,
     InSet,
     LengthInRange,
@@ -116,6 +118,8 @@ class SuggestionReport:
                 detail = ",".join(s.domain)
             elif s.kind == "regex":
                 detail = s.constraint.pattern
+            elif s.kind == "functional_dependency":
+                detail = s.constraint.dependent
             rows.append((
                 s.column,
                 s.kind,
@@ -189,9 +193,20 @@ def suggest_constraints(
     rsd: float = 0.02,
     rsd_margin: float = 3.0,
     regex_max_len: int = 256,
+    fd_candidates: tuple = (),
 ) -> SuggestionReport:
     """Profile `df` and propose a TableSpec. See module docstring for
-    the rule table and the two-pass scale shape."""
+    the rule table and the two-pass scale shape.
+
+    fd_candidates: (determinant, dependent) pairs to screen for
+    functional dependencies (determinant may be a column name or a
+    tuple of them) — e.g. the north-rule pairs (commit -> repo,
+    path -> repo). FD discovery over ALL column pairs is O(cols^2)
+    full scans, so candidates are caller-named; each screen reuses the
+    hash-compacted exact kernel from operators/uniqueness (two
+    xxhash64 per row shuffle, real columns regrouped only for
+    multi-valued key hashes) and suggests FunctionalDependency when
+    the observed mapping is single-valued."""
     if distinct_mode not in ("approx", "exact"):
         raise ValueError(f"distinct_mode must be approx|exact: {distinct_mode}")
     m, dtypes = _profile(df, distinct_mode, rsd, regex_max_len)
@@ -274,4 +289,20 @@ def suggest_constraints(
 
     for col in dtypes:  # schema order, suggestions grouped per column
         out.extend(pending[col])
+
+    for det, dep in fd_candidates:
+        det_t = (det,) if isinstance(det, str) else tuple(det)
+        fdc = FunctionalDependency(*det_t, dependent=dep)
+        # empty candidate frame == the mapping is single-valued on every
+        # observed key (exactness argument in the kernel's docstring)
+        from anomaly_detector_faironchain_spark.operators.uniqueness import (
+            functional_dependency_groups,
+        )
+
+        probe = TableSpec(name=name, constraints=(fdc,))
+        if functional_dependency_groups(df, probe, fdc).limit(1).count() == 0:
+            out.append(Suggestion(
+                ",".join(det_t), "functional_dependency", fdc,
+                f"({','.join(det_t)}) -> {dep} single-valued on all "
+                f"observed keys"))
     return SuggestionReport(name, n, distinct_mode, tuple(out))

@@ -213,3 +213,34 @@ def test_cli_screen_certifies_and_escalates(spark, tmp_path, capsys):
     ).collect()
     assert len(bad) == 1 and bad[0]["passed"] is False
     assert bad[0]["method"] == "sample"
+
+
+def test_cli_suggest_writes_runnable_spec(spark, tmp_path, capsys):
+    """`cli suggest`: profile a table, write the suggested spec JSON,
+    then `validate --spec` must run it unchanged and pass (the spec is
+    self-consistent on the input that produced it)."""
+    df = spark.createDataFrame(
+        [(i, ["open", "closed"][i % 2], f"{i:04x}ff", i % 7) for i in range(200)],
+        "id long, status string, commit string, grp int",
+    )
+    inp = str(tmp_path / "suggest_in")
+    df.write.parquet(inp)
+
+    spec_path = str(tmp_path / "suggested.json")
+    rc = cli.main([
+        "suggest", "--input", inp, "--name", "t", "--exact",
+        "--fd", "commit->id", "--out", spec_path,
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and summary["n_suggestions"] > 0
+    text = open(spec_path, encoding="utf-8").read()
+    assert '"NotNull"' in text and '"InSet"' in text
+    assert '"FunctionalDependency"' in text  # commit unique -> FD holds
+    capsys.readouterr()
+
+    out = str(tmp_path / "suggest_validate")
+    rc2 = cli.main([
+        "validate", "--input", inp, "--out", out, "--spec", spec_path,
+    ])
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0 and summary2["passed"] is True

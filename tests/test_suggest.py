@@ -129,6 +129,26 @@ def test_vector_shape_and_empty_table(spark):
     assert suggest_constraints(empty, "e").suggestions == ()
 
 
+def test_fd_candidate_screen(spark):
+    # city -> country holds; country -> city does not (one-to-many)
+    df = spark.createDataFrame(
+        [("paris", "fr"), ("lyon", "fr"), ("berlin", "de"),
+         ("paris", "fr"), ("munich", "de")],
+        "city string, country string",
+    )
+    rep = suggest_constraints(
+        df, "t", distinct_mode="exact",
+        fd_candidates=(("city", "country"), ("country", "city")),
+    )
+    fds = [s for s in rep.suggestions if s.kind == "functional_dependency"]
+    assert len(fds) == 1
+    assert fds[0].constraint.determinant == ("city",)
+    assert fds[0].constraint.dependent == "country"
+    # suggested FD validates clean on its own input
+    res = validate_table(df, rep.spec(), materialize_violations=False)
+    assert all(r["passed"] for r in res.verdicts.collect())
+
+
 def test_regex_gated_by_length_cap(spark):
     # values longer than regex_max_len never match, so an all-digits
     # column with one long value loses the format suggestion instead of
