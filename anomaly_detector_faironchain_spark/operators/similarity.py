@@ -483,3 +483,86 @@ def random_projection(
         F.col(id_col).alias("id"),
         F.posexplode(F.array(*comps)).alias("p", "s"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    k: int = 16, iters: int = 0, threshold: float = 0.95,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by clustering the embedding space and
+    searching for high-cosine pairs ONLY within each cluster — the pair
+    cost is bounded by the largest cell, not the corpus, which is the
+    whole point of the method at 10^12-document scale (k grows with the
+    corpus so cells stay roughly constant-sized). Returns one row per
+    document: (id, cell, keep).
+
+    Pipeline shape (all stages reuse the IVF machinery):
+      1. centroids — deterministic Lloyd (``kmeans_centroids``); with
+         iters=0 the k lowest-id vectors ARE the centroids, which makes
+         the whole operator replicable in ANSI SQL for the oracle.
+      2. assignment — one map-only Arrow matmul per batch
+         (``_assign_udf``); nearest centroid by squared-L2, ties to the
+         lowest cell. No shuffle.
+      3. within-cell candidate pairs — ids-only self-equi-join on the
+         cell key (16-byte rows ride the shuffle, vectors never do),
+         then ONE exact cosine re-score per candidate, ≥ threshold kept.
+         ``max_cell`` caps a degenerate cell's population (keep the
+         max_cell smallest ids) exactly like the LSH bucket cap.
+      4. keep rule — within a cell, a document is dropped when a
+         similar neighbor with a SMALLER id exists (keep = no pair in
+         which it is id_b). Deterministic and engine-independent; the
+         published heuristic (keep the member farthest from the
+         centroid) is a one-line orderBy swap documented here rather
+         than implemented, because id-order is reproducible across
+         engines while float-distance order is tie-unstable.
+
+    Reference role: the semantic sibling of the MinHash near-dup chain
+    (operators/dedup.py); generalizes the reference's dedup-by-key
+    retention (build_abstract_transaction.py:43) to embedding space.
+    """
+    cents = kmeans_centroids(corpus, id_col, vec_col, k=k, iters=iters)
+    assign = _assign_udf(cents)
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    assigned = base.withColumn("cell", assign(F.col("vec")))
+
+    cells = assigned.select("id", "cell")
+    if max_cell is not None:
+        w = Window.partitionBy("cell").orderBy("id")
+        cells = (
+            cells.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= max_cell)
+            .drop("__rn__")
+        )
+    a = cells.select(F.col("id").alias("id_a"), "cell")
+    b = cells.select(F.col("id").alias("id_b"), "cell")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    pairs = (
+        cand.join(base.select(F.col("id").alias("id_a"),
+                              F.col("vec").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"),
+                          F.col("vec").alias("vb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).cast("double").alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias("id")).distinct()
+        .withColumn("__dup__", F.lit(1))
+    )
+    return (
+        assigned.select("id", F.col("cell").cast("int").alias("cell"))
+        .join(dropped, "id", "left")
+        .select("id", "cell", F.col("__dup__").isNull().alias("keep"))
+    )

@@ -372,3 +372,67 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .when(n == 0, F.lit(0.0))
         .cast("double").alias("entropy_bits"),
     )
+
+
+# Literal weight vector for the model-based quality filter. Stand-ins
+# with the right signs (more alphabetic text, more stopwords → higher
+# quality; very long tokens → lower); swap for learned coefficients
+# without changing the plan shape.
+QUALITY_CLF_WEIGHTS = {
+    "alpha_ratio": 2.5,
+    "stop_ratio": 3.0,
+    "avg_token_len": -0.3,
+    "log_tokens": 0.4,
+}
+QUALITY_CLF_BIAS = -2.0
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float] | None = None,
+    bias: float = QUALITY_CLF_BIAS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filtering (the CCNet/fastText-classifier
+    stage of a training-data pipeline): a logistic model over the
+    token_stats features — score = σ(b + w·x) ∈ [0,1], keep = score ≥
+    threshold. Returns (id, quality_score, keep).
+
+    The weight vector enters the plan as literals, so Catalyst constant-
+    folds the whole model into the SAME single codegen'd projection that
+    computes the features: one map-only pass over the corpus, no
+    shuffle, no Python, no model-server hop. At 100 TB that is the only
+    acceptable shape for a per-document scorer. Features enter the model
+    at token_stats' published 4-dp rounding, so any engine computing the
+    same stats derives the identical score (the DuckDB oracle does);
+    the score itself is rounded to 6 dp before the threshold test.
+
+    Features: alpha_ratio, stop_ratio, avg_token_len (from
+    token_stat_cols) plus log_tokens = ln(1 + n_tokens).
+
+    Reference role: generalizes the reference's flag→score combination
+    (scoring.py:24-48 — weighted rule flags → bounded score → binary
+    verdict) from hand rules to a learned linear model over documents.
+    """
+    stats = token_stats(df, id_col, text_col)
+    w = dict(QUALITY_CLF_WEIGHTS if weights is None else weights)
+    feats = {
+        "alpha_ratio": F.col("alpha_ratio"),
+        "stop_ratio": F.col("stop_ratio"),
+        "avg_token_len": F.col("avg_token_len"),
+        "log_tokens": F.log(F.lit(1.0) + F.col("n_tokens")),
+    }
+    unknown = set(w) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown quality features: {sorted(unknown)}")
+    z = F.lit(float(bias))
+    for name, weight in w.items():
+        z = z + F.lit(float(weight)) * feats[name]
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).cast("double")
+    return stats.select(
+        "id",
+        score.alias("quality_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )

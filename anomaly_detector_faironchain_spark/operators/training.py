@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "deterministic_split",
+    "leakage_safe_split",
     "split_thresholds",
     "chunk_documents",
     "pack_token_budget",
@@ -297,3 +298,48 @@ def write_training_shards(
         "max_records_per_file": max_records_per_file,
         "files": files,
     }
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_col: str = "split",
+) -> DataFrame:
+    """Cluster-aware train/val/test split: near-duplicate documents must
+    land in the SAME split, or the held-out sets leak (memorized)
+    training text and every eval number is inflated — the benchmark-
+    contamination bug applied to a model's own validation data. Returns
+    (id, component, split).
+
+    ``pairs`` is any near-dup pair table (MinHash/SimHash/embedding LSH
+    output, ``id_a``/``id_b``); its connected components (large-star/
+    small-star, operators/graph.py) become the split unit: every member
+    of a component inherits the split of the component label (the
+    order-minimal member), and documents in no pair are their own
+    singleton component. Assignment is deterministic_split's md5-prefix
+    range test on the component id — map-only after the components
+    converge, no RNG, reproducible on any engine.
+
+    Scale shape: components run over the PAIR table (near-dup pairs are
+    sparse — orders of magnitude smaller than the corpus); the corpus
+    itself takes one broadcast-or-shuffle left join against the
+    (id, component) labels and one codegen'd hash test. Compare
+    deterministic_split's group_col variant, which gets leakage safety
+    only when near-dups never cross the grouping key; this operator
+    derives the safe grouping from measured similarity instead of
+    trusting a metadata column.
+    """
+    from anomaly_detector_faironchain_spark.operators import graph
+
+    comp = graph.connected_components(pairs, src=id_a, dst=id_b)
+    labeled = docs.select(F.col(id_col).alias("id")).join(
+        comp, "id", "left"
+    ).select(
+        "id",
+        F.coalesce(F.col("component"), F.col("id")).alias("component"),
+    )
+    return deterministic_split(labeled, "component", fractions, out_col=out_col)

@@ -1932,6 +1932,10 @@ _DRIVER_PRIORITY = [
     "quarantine_split",            # round-3 new: row-level quarantine
     "sampled_screen",              # round-3 new: sample-first screen + escalation
     "suggested_constraints",       # round-3 new: profile -> proposed TableSpec
+    # -- round-3 session additions (positions 51-53: past the 50-entry
+    #    driver cap, which is fully claimed by VERDICT-mandated entries;
+    #    verified by pytest + tools/check_oracles.py instead) ---------------
+    "quality_classifier", "semantic_dedup", "leakage_safe_split",
     # -- north-rule validation core (keep inside the cap every round) ------
     "embedding_validation", "validation_verdicts", "profile_stats",
     "unique_duplicates", "fk_violations_broadcast", "fk_violations_salted",

@@ -20,6 +20,7 @@ from anomaly_detector_faironchain_spark.operators import (
     multimodal,
     similarity,
     text as text_ops,
+    training as training_ops,
 )
 
 
@@ -1464,3 +1465,167 @@ ORACLES = {
     "frame_sampling": ORACLE_FRAME_SAMPLING,
     "curation_pipeline": _curation_oracle(),
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-3 session additions: model-based quality filter, SemDeDup,
+# leakage-safe split
+# ---------------------------------------------------------------------------
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.quality_classifier(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("id"), "quality_score", "keep"
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    w = text_ops.QUALITY_CLF_WEIGHTS
+    b = text_ops.QUALITY_CLF_BIAS
+    z = (f"{b} + {w['alpha_ratio']} * alpha_ratio"
+         f" + {w['stop_ratio']} * stop_ratio"
+         f" + ({w['avg_token_len']}) * avg_token_len"
+         f" + {w['log_tokens']} * log_tokens")
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, text, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b) AS tok_len_sum,
+    len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x))) AS stop_in,
+    length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars
+  FROM t
+),
+f AS (
+  SELECT id,
+    CAST(ROUND(alpha_chars * 1.0 / n_chars, 4) AS DOUBLE) AS alpha_ratio,
+    CAST(ROUND(stop_in * 1.0 / n_tokens, 4) AS DOUBLE) AS stop_ratio,
+    CAST(ROUND(tok_len_sum * 1.0 / n_tokens, 4) AS DOUBLE) AS avg_token_len,
+    ln(1.0 + n_tokens) AS log_tokens
+  FROM m
+),
+s AS (
+  SELECT id,
+    CAST(ROUND(1.0 / (1.0 + exp(-({z}))), 6) AS DOUBLE) AS quality_score
+  FROM f
+)
+SELECT CAST(id AS BIGINT) AS id, quality_score, quality_score >= 0.5 AS keep
+FROM s
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the augmented embeddings (planted near-dups at
+    vec_id+100000, cos ≈ 0.997): iters=0 centroids = the 16 lowest-id
+    vectors, so clustering + within-cell pairs + keep rule are exactly
+    replicable in SQL (same device as q_ivf_ann_topk)."""
+    aug = _emb_augmented(spark, sf_dir)
+    out = similarity.semantic_dedup(
+        aug, "vec_id", "embedding", k=16, iters=0, threshold=0.9
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cell").cast("int").alias("cell"),
+        "keep",
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH aug AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id,
+         list_transform(list_zip(embedding, list_reverse(embedding)),
+                        s -> CAST(s[1] AS DOUBLE) + 0.05 * CAST(s[2] AS DOUBLE)) AS vec
+  FROM embeddings
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, vec AS cvec
+  FROM (SELECT * FROM aug ORDER BY id LIMIT 16)
+),
+cn AS (SELECT cell, cvec, {_NORM2_SQL.format(v='cvec')} AS cn2 FROM cent),
+asg AS (
+  SELECT id, vec, cell,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY score, cell) AS r
+  FROM (
+    SELECT a.id, a.vec, c.cell,
+           -2 * {_DOT_SQL.format(a='a.vec', b='c.cvec')} + c.cn2 AS score
+    FROM aug a, cn c
+  )
+),
+assigned AS (SELECT id, vec, cell FROM asg WHERE r = 1),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(ROUND({_DOT_SQL.format(a='a.vec', b='b.vec')}
+              / ({_NORM_SQL.format(v='a.vec')} * {_NORM_SQL.format(v='b.vec')}), 6) AS DOUBLE) AS cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+),
+dropped AS (SELECT DISTINCT id_b AS id FROM pairs WHERE cos >= 0.9)
+SELECT CAST(a.id AS BIGINT) AS id, CAST(a.cell AS INT) AS cell,
+       d.id IS NULL AS keep
+FROM assigned a LEFT JOIN dropped d ON d.id = a.id
+"""
+
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components (the q_neardup_clusters chain) become the
+    split unit; singletons hash on their own id."""
+    aug = _augmented(spark, sf_dir, perturb=True)
+    sh = dedup.shingles(aug, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, k=12)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3, max_bucket=50)
+    pairs = dedup.jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= 0.6)
+    out = training_ops.leakage_safe_split(
+        aug, "doc_id", pairs, _SPLIT_FRACTIONS
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+        "split",
+    )
+
+
+def _leakage_safe_split_oracle() -> str:
+    thr = training_ops.split_thresholds(_SPLIT_FRACTIONS)
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT id_a AS u, id_b AS v FROM j WHERE jac >= 0.6),
+bidir AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+nodes AS (SELECT DISTINCT u AS id FROM bidir),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT b.v, w.comp FROM walk w JOIN bidir b ON b.u = w.id
+),
+lbl AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+alldocs AS (SELECT id FROM aug),
+comp AS (
+  SELECT a.id, COALESCE(l.component, a.id) AS component
+  FROM alldocs a LEFT JOIN lbl l ON l.id = a.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component,
+       CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < '{thr[0][1]}' THEN 'train'
+            WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < '{thr[1][1]}' THEN 'val'
+            ELSE 'test' END AS split
+FROM comp
+"""
+
+
+QUERIES.update({
+    "quality_classifier": q_quality_classifier,
+    "semantic_dedup": q_semantic_dedup,
+    "leakage_safe_split": q_leakage_safe_split,
+})
+ORACLES.update({
+    "quality_classifier": _quality_classifier_oracle(),
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "leakage_safe_split": _leakage_safe_split_oracle(),
+})

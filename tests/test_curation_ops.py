@@ -780,3 +780,73 @@ def test_fake_decode_raises_without_codecs(spark):
         pytest.skip("PIL installed — real path covered above")
     with pytest.raises(Exception, match="(?i)codecs unavailable"):
         multimodal.decode_image_features(df, fake=False).collect()
+
+
+def test_quality_classifier_score_semantics(spark, docs):
+    out = text_ops.quality_classifier(docs, "doc_id", "text").cache()
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.keep == (r.quality_score >= 0.5)
+    # all-symbol garbage must score below clean prose
+    df = spark.createDataFrame(
+        [(1, "the cat sat of the mat and a dog is in the house"),
+         (2, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.quality_score
+           for r in text_ops.quality_classifier(df, "doc_id", "text").collect()}
+    assert got[1] > got[2]
+    with pytest.raises(ValueError, match="unknown quality features"):
+        text_ops.quality_classifier(df, "doc_id", "text",
+                                    weights={"nope": 1.0}).collect()
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    orig = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # planted copy of every vector at +100000 (cos == 1 with its source)
+    aug = orig.unionByName(
+        orig.select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    )
+    out = similarity.semantic_dedup(
+        aug, "vec_id", "embedding", k=8, iters=0, threshold=0.99
+    ).cache()
+    assert out.count() == aug.count()
+    # an exact copy always shares its source's cell, so SemDeDup must
+    # drop every planted +100000 copy and keep every original
+    dropped = {r.id for r in out.filter("NOT keep").collect()}
+    n = emb.count()
+    planted = {r.vec_id + 100_000 for r in emb.select("vec_id").collect()}
+    assert planted <= dropped
+    kept = {r.id for r in out.filter("keep").collect()}
+    assert {r.vec_id for r in emb.select("vec_id").collect()} <= kept
+    assert len(dropped) + len(kept) == 2 * n
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark, docs):
+    from anomaly_detector_faironchain_spark.operators import training
+
+    # synthetic near-dup pairs: chain every 10th doc to its neighbor
+    ids = [r.doc_id for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    pair_rows = [(ids[i], ids[i + 1]) for i in range(0, len(ids) - 1, 10)]
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    out = training.leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).cache()
+    assert out.count() == len(ids)
+    by_id = {r.id: (r.component, r.split) for r in out.collect()}
+    for a, b in pair_rows:
+        assert by_id[a] == by_id[b], f"pair ({a},{b}) straddles splits"
+    # singletons are their own component and hash like deterministic_split
+    paired = {x for ab in pair_rows for x in ab}
+    singles = [i for i in ids if i not in paired]
+    assert singles
+    for i in singles[:20]:
+        assert by_id[i][0] == i
+    # every split is non-empty at 80/10/10 over ~500 groups
+    assert out.select("split").distinct().count() == 3
