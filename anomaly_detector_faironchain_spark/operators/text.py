@@ -436,3 +436,44 @@ def quality_classifier(
         score.alias("quality_score"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+# GPT-2-family pretokenizer, RE2-safe (no lookarounds — Spark's Java
+# regex and DuckDB's RE2 agree on leftmost-first alternation for this
+# pattern): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs. Whitespace that precedes a token rides the token
+# (the " ?" prefixes); other whitespace is skipped, not counted.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tokenizer-realistic token counting (the round brief's "whitespace
+    + a BPE-ish regex"): (id, n_bpe_tokens, n_ws_tokens, chars_per_token).
+
+    Whitespace counts (token_stats) undercount what a subword tokenizer
+    bills for punctuation-dense or contraction-heavy text, so token-
+    budget decisions (pack_token_budget, context-window chunking, corpus
+    mixing quotas) made on them systematically overpack. n_bpe_tokens
+    applies the GPT-2-style pretokenizer split — the stage that decides
+    token BOUNDARIES; BPE merges within a pretoken only reduce count, so
+    this is a stable conservative budget estimate. chars_per_token makes
+    the usual ~4-chars-per-token folklore a measured per-document column.
+
+    One regexp_extract_all + size() per row — a single map-only
+    codegen'd projection, no shuffle, no UDF; the same RE2-safe pattern
+    runs verbatim in the DuckDB oracle.
+    """
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_SPLIT_PATTERN), F.lit(0)
+    )
+    n_bpe = F.size(toks)
+    n_ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.round(
+            F.when(n_bpe > 0, F.length(F.col(text_col)) / n_bpe).otherwise(F.lit(0.0)),
+            4,
+        ).cast("double").alias("chars_per_token"),
+    )

@@ -1629,3 +1629,33 @@ ORACLES.update({
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "leakage_safe_split": _leakage_safe_split_oracle(),
 })
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.bpe_token_count(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("id"),
+        "n_bpe_tokens", "n_ws_tokens", "chars_per_token",
+    )
+
+
+_BPE_SQL_PAT = text_ops.BPE_SPLIT_PATTERN.replace("'", "''")
+
+ORACLE_BPE_TOKEN_COUNT = f"""
+WITH t AS (
+  SELECT doc_id AS id, text,
+         len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe,
+         len(string_split_regex(trim(text), '\\s+')) AS n_ws
+  FROM documents
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+       CAST(n_ws AS BIGINT) AS n_ws_tokens,
+       CAST(ROUND(CASE WHEN n_bpe > 0 THEN length(text) * 1.0 / n_bpe ELSE 0.0 END, 4)
+            AS DOUBLE) AS chars_per_token
+FROM t
+"""
+
+
+QUERIES.update({"bpe_token_count": q_bpe_token_count})
+ORACLES.update({"bpe_token_count": ORACLE_BPE_TOKEN_COUNT})

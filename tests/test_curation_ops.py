@@ -850,3 +850,24 @@ def test_leakage_safe_split_never_straddles_pairs(spark, docs):
         assert by_id[i][0] == i
     # every split is non-empty at 80/10/10 over ~500 groups
     assert out.select("split").distinct().count() == 3
+
+
+def test_bpe_token_count_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop"),          # don / 't / (space)stop
+         (2, "abc123!?"),            # abc / 123 / !?
+         (3, "hello   world"),       # hello / (space)world
+         (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.id: (r.n_bpe_tokens, r.n_ws_tokens)
+           for r in text_ops.bpe_token_count(df, "doc_id", "text").collect()}
+    assert got[1] == (3, 2)
+    assert got[2] == (3, 1)
+    assert got[3] == (2, 2)
+    assert got[4][0] == 0
+    # BPE-ish counts never undercount whitespace words on real prose
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bad = (text_ops.bpe_token_count(docs, "doc_id", "text")
+           .filter("n_bpe_tokens < n_ws_tokens").count())
+    assert bad == 0

@@ -384,3 +384,17 @@ def test_freshness_and_approx_cardinality_ride_the_profile_pass(spark):
     assert p.count("Exchange") == 2 * 1  # one partial+final agg boundary
     assert "freshness_max__freshness(l_quantity)" in "".join(q.columns)
     assert "approx_distinct__cardinality(l_partkey)" in "".join(q.columns)
+
+
+def test_quality_and_bpe_scorers_are_single_maponly_projection(spark):
+    """quality_classifier folds the logistic model into the feature
+    projection; bpe_token_count is one regexp projection — an Exchange
+    in either plan means a per-document scorer is shuffling bodies."""
+    from anomaly_detector_faironchain_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(text_ops.quality_classifier(docs, "doc_id", "text"))
+    assert ") Exchange" not in p, p
+    p = plan(text_ops.bpe_token_count(docs, "doc_id", "text"))
+    assert ") Exchange" not in p, p
+    assert "* Project" in p, p
