@@ -525,9 +525,16 @@ def semantic_dedup(
     cents = kmeans_centroids(corpus, id_col, vec_col, k=k, iters=iters)
     assign = _assign_udf(cents)
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    assigned = base.withColumn("cell", assign(F.col("vec")))
+    # (id, cell) is needed by BOTH the pair-candidate branch and the
+    # final keep join; persist the narrow frame so the Arrow assignment
+    # pass runs over the corpus exactly once instead of once per branch
+    full_cells = (
+        base.withColumn("cell", assign(F.col("vec")))
+        .select("id", "cell")
+        .persist()
+    )
 
-    cells = assigned.select("id", "cell")
+    cells = full_cells
     if max_cell is not None:
         w = Window.partitionBy("cell").orderBy("id")
         cells = (
@@ -562,7 +569,7 @@ def semantic_dedup(
         .withColumn("__dup__", F.lit(1))
     )
     return (
-        assigned.select("id", F.col("cell").cast("int").alias("cell"))
+        full_cells.select("id", F.col("cell").cast("int").alias("cell"))
         .join(dropped, "id", "left")
         .select("id", "cell", F.col("__dup__").isNull().alias("keep"))
     )
