@@ -150,6 +150,19 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--format", default="parquet",
                    choices=["parquet", "csv", "iceberg", "table"])
 
+    cr = sub.add_parser(
+        "corpus-report",
+        help="markdown corpus curation report (size, language/source "
+             "mix, BPE-ish token budgets, dup rate, quality histogram)",
+    )
+    cr.add_argument("--input", required=True, help="documents parquet path")
+    cr.add_argument("--out", required=True, help="report .md output path")
+    cr.add_argument("--id-col", default="doc_id")
+    cr.add_argument("--text-col", default="text")
+    cr.add_argument("--lang-col", default="lang")
+    cr.add_argument("--source-col", default="source")
+    cr.add_argument("--top-sources", type=int, default=15)
+
     s = sub.add_parser("serve", help="EP3: HTTP endpoints over results")
     s.add_argument("--data-root", required=True,
                    help="root of {chain}/{YYYY}/{MM}/ monthly result parquet")
@@ -173,6 +186,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_screen(spark, args)
     if args.cmd == "suggest":
         return _run_suggest(spark, args)
+    if args.cmd == "corpus-report":
+        return _run_corpus_report(spark, args)
 
     refs = {}
     for spec_str in args.ref:
@@ -471,6 +486,26 @@ def _run_skew(spark: SparkSession, args) -> int:
             for r in rows
         ],
     }))
+    return 0
+
+
+def _run_corpus_report(spark: SparkSession, args) -> int:
+    import json
+    from pathlib import Path
+
+    from anomaly_detector_faironchain_spark.plans.corpus_report import (
+        render_corpus_report,
+    )
+
+    docs = spark.read.parquet(args.input)
+    md = render_corpus_report(
+        docs, id_col=args.id_col, text_col=args.text_col,
+        lang_col=args.lang_col, source_col=args.source_col,
+        top_sources=args.top_sources,
+    )
+    Path(args.out).write_text(md, encoding="utf-8")
+    print(json.dumps({"status": "ok", "report": args.out,
+                      "chars": len(md)}))
     return 0
 
 

@@ -1,0 +1,170 @@
+"""Human-readable corpus curation report.
+
+The curation-side sibling of plans/report.py: one markdown file that
+answers "what is in this corpus and is it fit to train on" — size,
+language/source mix, token budgets (whitespace AND BPE-ish), exact-dup
+rate, and the quality-score distribution.
+
+Pass discipline (the 100 TB contract every driver-facing surface in
+this engine follows):
+  * ONE fused map-only projection computes every per-document stat
+    (lang, source, chars, ws/bpe tokens, quality score, content md5) —
+    the text column is read once and never shuffles;
+  * ONE aggregation pass reduces that projection: corpus totals and
+    the quality histogram ride a single groupBy(lang) (languages are
+    few, the shuffle carries ~#langs × ~20 numbers), per-source rows
+    ride a second groupBy over (source) pairs;
+  * the dup rate uses approx_count_distinct over the md5 digest inside
+    the same agg — exact distinct would force a digest shuffle; the
+    report labels it as approximate.
+  Driver-side cost is (#langs + #top_sources) rows — KBs at any scale.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators import text as text_ops
+
+_QUALITY_BUCKETS = 10
+
+
+def corpus_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> tuple[DataFrame, DataFrame]:
+    """(per_lang, per_source) aggregate frames for the corpus report.
+
+    per_lang: one row per language — doc/char/token totals, approx
+    distinct digests, mean quality, and a 10-bucket quality histogram.
+    per_source: one row per source — doc count and token total.
+    """
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(text_ops.BPE_SPLIT_PATTERN), F.lit(0)
+    )
+    stats = text_ops.token_stat_cols(text_col)
+    # fused per-document projection: every stat in one pass, no joins;
+    # the quality score is the SAME literal-weight logistic as
+    # text.quality_classifier, inlined (_quality_score_col) so the whole
+    # projection stays one codegen stage instead of a join on id
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+        stats["n_chars"].alias("n_chars"),
+        stats["n_tokens"].alias("n_ws_tokens"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.md5(F.col(text_col)).alias("digest"),
+        # quality bucket via the same literal-weight logistic the
+        # quality_classifier query uses — recomputed inline so the
+        # whole projection stays one codegen stage (no join on id)
+        F.least(
+            F.floor(
+                _quality_score_col(text_col) * _QUALITY_BUCKETS
+            ).cast("int"),
+            F.lit(_QUALITY_BUCKETS - 1),
+        ).alias("qbucket"),
+        _quality_score_col(text_col).alias("qscore"),
+    )
+    hist_cols = [
+        F.sum((F.col("qbucket") == b).cast("long")).alias(f"q{b}")
+        for b in range(_QUALITY_BUCKETS)
+    ]
+    per_lang = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_ws_tokens").alias("n_ws_tokens"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.approx_count_distinct("digest").alias("approx_distinct"),
+        F.round(F.avg("qscore"), 4).alias("mean_quality"),
+        *hist_cols,
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+    )
+    return per_lang, per_source
+
+
+def _quality_score_col(text_col: str):
+    """The quality_classifier score as a bare column expression (same
+    literal weights, same 4-dp feature rounding, same 6-dp score
+    rounding) so the report's fused projection needs no join."""
+    stats = text_ops.token_stat_cols(text_col)
+    w = text_ops.QUALITY_CLF_WEIGHTS
+    feats = {
+        "alpha_ratio": stats["alpha_ratio"],
+        "stop_ratio": stats["stop_ratio"],
+        "avg_token_len": stats["avg_token_len"],
+        "log_tokens": F.log(F.lit(1.0) + stats["n_tokens"]),
+    }
+    z = F.lit(float(text_ops.QUALITY_CLF_BIAS))
+    for name, weight in w.items():
+        z = z + F.lit(float(weight)) * feats[name]
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).cast("double")
+
+
+def render_corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    top_sources: int = 15,
+) -> str:
+    """Markdown corpus report. Two jobs total: the per-lang agg and the
+    per-source top-N (TakeOrdered — the full source distribution is
+    never sorted or collected)."""
+    per_lang, per_source = corpus_profile(
+        docs, id_col, text_col, lang_col, source_col
+    )
+    langs = sorted(per_lang.collect(), key=lambda r: -r.n_docs)
+    top = per_source.orderBy(
+        F.col("n_bpe_tokens").desc(), F.col("source")
+    ).limit(top_sources).collect()
+
+    n_docs = sum(r.n_docs for r in langs)
+    n_bpe = sum(r.n_bpe_tokens for r in langs)
+    n_ws = sum(r.n_ws_tokens for r in langs)
+    n_chars = sum(r.n_chars for r in langs)
+    approx_distinct = sum(r.approx_distinct for r in langs)
+    dup_pct = 100.0 * max(n_docs - approx_distinct, 0) / n_docs if n_docs else 0.0
+
+    lines = [
+        "# Corpus report",
+        "",
+        f"**{n_docs:,} documents · {n_chars:,} chars · "
+        f"{n_bpe:,} BPE-ish tokens ({n_ws:,} whitespace) · "
+        f"≈{dup_pct:.2f}% exact-dup (approx, per-lang digest sketch)**",
+        "",
+        "## Languages",
+        "",
+        "| lang | docs | share | BPE tokens | mean quality | quality histogram (0→1) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in langs:
+        hist = [getattr(r, f"q{b}") for b in range(_QUALITY_BUCKETS)]
+        peak = max(hist) or 1
+        spark_bar = "".join(
+            " ▁▂▃▄▅▆▇█"[min(8, (8 * h + peak - 1) // peak)] for h in hist
+        )
+        lines.append(
+            f"| {r.lang} | {r.n_docs:,} | {100.0 * r.n_docs / n_docs:.1f}% "
+            f"| {r.n_bpe_tokens:,} | {r.mean_quality:.3f} | `{spark_bar}` |"
+        )
+    lines += [
+        "",
+        f"## Top {len(top)} sources by token volume",
+        "",
+        "| source | docs | BPE tokens | token share |",
+        "|---|---|---|---|",
+    ]
+    for r in top:
+        lines.append(
+            f"| {r.source} | {r.n_docs:,} | {r.n_bpe_tokens:,} "
+            f"| {100.0 * r.n_bpe_tokens / n_bpe:.2f}% |"
+        )
+    lines.append("")
+    return "\n".join(lines)

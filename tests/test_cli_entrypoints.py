@@ -244,3 +244,26 @@ def test_cli_suggest_writes_runnable_spec(spark, tmp_path, capsys):
     ])
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc2 == 0 and summary2["passed"] is True
+
+
+def test_cli_corpus_report(spark, tmp_path, capsys):
+    src = str(tmp_path / "corpus_src")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .write.parquet(src)
+    out = str(tmp_path / "corpus.md")
+    rc = cli.main([
+        "corpus-report", "--input", src, "--out", out,
+        "--top-sources", "5",
+    ])
+    assert rc == 0
+    import json as _json
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+    md = open(out, encoding="utf-8").read()
+    assert md.startswith("# Corpus report")
+    assert "BPE-ish tokens" in md
+    assert "## Languages" in md
+    assert "## Top 5 sources" in md
+    # doc count in the header matches the input
+    n = spark.read.parquet(src).count()
+    assert f"**{n:,} documents" in md

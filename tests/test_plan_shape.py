@@ -398,3 +398,28 @@ def test_quality_and_bpe_scorers_are_single_maponly_projection(spark):
     p = plan(text_ops.bpe_token_count(docs, "doc_id", "text"))
     assert ") Exchange" not in p, p
     assert "* Project" in p, p
+
+
+def test_corpus_profile_single_scan_and_no_body_shuffle(spark):
+    """The corpus report's per-lang frame must read the text column in
+    ONE scan (every per-document stat fused into one projection) and
+    shuffle only partial aggregates — never document bodies."""
+    import re
+
+    from anomaly_detector_faironchain_spark.plans.corpus_report import (
+        corpus_profile,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    per_lang, _ = corpus_profile(docs)
+    p = plan(per_lang)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if ") Exchange" in ln:
+            for nxt in lines[i + 1:i + 4]:
+                if nxt.strip().startswith("Input"):
+                    assert "text#" not in nxt, (
+                        "document body crossed an exchange:\n" + p
+                    )
+                    break
