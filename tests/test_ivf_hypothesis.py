@@ -80,3 +80,35 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_h(spark):
     return spark
+
+
+def test_semantic_dedup_learned_centroids_recall_vs_bruteforce(spark):
+    """The learned-centroid SemDeDup path (iters>0, not SQL-replicable —
+    the oracle covers iters=0) must recover most of the near-dup pairs
+    brute force finds: planted near-copies land in their source's cell
+    unless the perturbation crosses a cluster boundary."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    orig = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = orig.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.zip_with(
+            "embedding", F.reverse("embedding"),
+            lambda x, y: x + F.lit(0.05) * y,
+        ).alias("embedding"),
+    )
+    aug = orig.unionByName(pert)
+    out = similarity.semantic_dedup(
+        aug, "vec_id", "embedding", k=8, iters=3, threshold=0.9
+    )
+    dropped = {r.id for r in out.filter("NOT keep").collect()}
+    n = emb.count()
+    # brute-force ground truth: every planted copy has cos≈0.997 with its
+    # source (max natural pair ≈0.51), so the true drop set is exactly
+    # the n planted ids
+    recall = len({i for i in dropped if i >= 100_000}) / n
+    assert recall >= 0.8, f"planted-duplicate recall = {recall}"
+    # nothing outside the planted set may be dropped at this threshold
+    assert all(i >= 100_000 for i in dropped)
