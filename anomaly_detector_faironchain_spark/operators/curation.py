@@ -27,13 +27,17 @@ def curate_documents(
     min_tokens: int = 5,
     max_tokens: int = 100_000,
     min_quality: float = 50.0,
+    min_clf_score: float | None = None,
 ) -> DataFrame:
     """Returns the curated set: one row per surviving document with
     (id, predicted_lang, n_tokens, quality).
 
     A document survives when it is the keeper of its exact-content group
     (min id per md5) AND min_tokens ≤ n_tokens ≤ max_tokens AND
-    quality ≥ min_quality (token_stats' 0-100 score).
+    quality ≥ min_quality (token_stats' 0-100 score). With
+    ``min_clf_score`` set, the model-based gate (text.quality_score_col,
+    the CCNet/fastText-stage logistic) also applies — it folds into the
+    SAME fused projection, so the extra gate costs zero extra scans.
     """
     keepers = dedup.exact_dedup(df, id_col, text_col).filter(
         ~F.col("is_dup")
@@ -43,17 +47,28 @@ def curate_documents(
     # every per-row statistic in ONE projection (no stats⋈langid re-join —
     # that shape re-scanned the source per operator branch)
     stat_cols = text_ops.token_stat_cols("__text__")
+    extra = []
+    if min_clf_score is not None:
+        extra.append(
+            text_ops.quality_score_col("__text__").alias("__clf__")
+        )
     scored = kept.select(
         "id",
         stat_cols["n_tokens"].alias("n_tokens"),
         stat_cols["quality"].alias("quality"),
         text_ops.langid_col("__text__").alias("predicted_lang"),
+        *extra,
     )
-    return scored.filter(
+    gate = (
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("quality") >= min_quality)
-    ).select("id", "predicted_lang", "n_tokens", "quality")
+    )
+    if min_clf_score is not None:
+        gate = gate & (F.col("__clf__") >= float(min_clf_score))
+    return scored.filter(gate).select(
+        "id", "predicted_lang", "n_tokens", "quality"
+    )
 
 
 def cap_per_group(

@@ -416,13 +416,31 @@ def quality_classifier(
     (scoring.py:24-48 — weighted rule flags → bounded score → binary
     verdict) from hand rules to a learned linear model over documents.
     """
-    stats = token_stats(df, id_col, text_col)
+    score = quality_score_col(text_col, weights=weights, bias=bias)
+    return df.select(
+        F.col(id_col).alias("id"),
+        score.alias("quality_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def quality_score_col(
+    text_col: str,
+    weights: dict[str, float] | None = None,
+    bias: float = QUALITY_CLF_BIAS,
+):
+    """The quality_classifier score as a bare column expression (same
+    literal weights, same 4-dp feature rounding via token_stat_cols,
+    same 6-dp score rounding) — the single source of truth the batch
+    classifier, the corpus report, and the curation gates all fold into
+    their own fused projections (no join on id, one scan)."""
+    stats = token_stat_cols(text_col)
     w = dict(QUALITY_CLF_WEIGHTS if weights is None else weights)
     feats = {
-        "alpha_ratio": F.col("alpha_ratio"),
-        "stop_ratio": F.col("stop_ratio"),
-        "avg_token_len": F.col("avg_token_len"),
-        "log_tokens": F.log(F.lit(1.0) + F.col("n_tokens")),
+        "alpha_ratio": stats["alpha_ratio"],
+        "stop_ratio": stats["stop_ratio"],
+        "avg_token_len": stats["avg_token_len"],
+        "log_tokens": F.log(F.lit(1.0) + stats["n_tokens"]),
     }
     unknown = set(w) - set(feats)
     if unknown:
@@ -430,12 +448,7 @@ def quality_classifier(
     z = F.lit(float(bias))
     for name, weight in w.items():
         z = z + F.lit(float(weight)) * feats[name]
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).cast("double")
-    return stats.select(
-        "id",
-        score.alias("quality_score"),
-        (score >= F.lit(float(threshold))).alias("keep"),
-    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).cast("double")
 
 
 # GPT-2-family pretokenizer, RE2-safe (no lookarounds — Spark's Java

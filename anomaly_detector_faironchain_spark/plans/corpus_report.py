@@ -48,7 +48,7 @@ def corpus_profile(
     stats = text_ops.token_stat_cols(text_col)
     # fused per-document projection: every stat in one pass, no joins;
     # the quality score is the SAME literal-weight logistic as
-    # text.quality_classifier, inlined (_quality_score_col) so the whole
+    # text.quality_classifier, inlined (text.quality_score_col) so the whole
     # projection stays one codegen stage instead of a join on id
     per_doc = docs.select(
         F.col(lang_col).alias("lang"),
@@ -62,11 +62,11 @@ def corpus_profile(
         # whole projection stays one codegen stage (no join on id)
         F.least(
             F.floor(
-                _quality_score_col(text_col) * _QUALITY_BUCKETS
+                text_ops.quality_score_col(text_col) * _QUALITY_BUCKETS
             ).cast("int"),
             F.lit(_QUALITY_BUCKETS - 1),
         ).alias("qbucket"),
-        _quality_score_col(text_col).alias("qscore"),
+        text_ops.quality_score_col(text_col).alias("qscore"),
     )
     hist_cols = [
         F.sum((F.col("qbucket") == b).cast("long")).alias(f"q{b}")
@@ -86,24 +86,6 @@ def corpus_profile(
         F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
     )
     return per_lang, per_source
-
-
-def _quality_score_col(text_col: str):
-    """The quality_classifier score as a bare column expression (same
-    literal weights, same 4-dp feature rounding, same 6-dp score
-    rounding) so the report's fused projection needs no join."""
-    stats = text_ops.token_stat_cols(text_col)
-    w = text_ops.QUALITY_CLF_WEIGHTS
-    feats = {
-        "alpha_ratio": stats["alpha_ratio"],
-        "stop_ratio": stats["stop_ratio"],
-        "avg_token_len": stats["avg_token_len"],
-        "log_tokens": F.log(F.lit(1.0) + stats["n_tokens"]),
-    }
-    z = F.lit(float(text_ops.QUALITY_CLF_BIAS))
-    for name, weight in w.items():
-        z = z + F.lit(float(weight)) * feats[name]
-    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).cast("double")
 
 
 def render_corpus_report(

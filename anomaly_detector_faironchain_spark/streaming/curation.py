@@ -37,6 +37,7 @@ def curate_stream(
     min_tokens: int = 5,
     max_tokens: int = 100_000,
     min_quality: float = 50.0,
+    min_clf_score: float | None = None,
     event_time_col: str | None = None,
     watermark: str | None = None,
     available_now: bool = True,
@@ -54,17 +55,28 @@ def curate_stream(
     else:
         deduped = hashed.dropDuplicates(["__md5__"])
     stat_cols = text_ops.token_stat_cols(text_col)
+    extra = []
+    if min_clf_score is not None:
+        extra.append(text_ops.quality_score_col(text_col).alias("__clf__"))
     scored = deduped.select(
         F.col(id_col).alias("id"),
         stat_cols["n_tokens"].alias("n_tokens"),
         stat_cols["quality"].alias("quality"),
         text_ops.langid_col(text_col).alias("predicted_lang"),
+        *extra,
     )
-    gated = scored.filter(
+    gate = (
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("quality") >= min_quality)
-    ).select("id", "predicted_lang", "n_tokens", "quality")
+    )
+    if min_clf_score is not None:
+        # the SAME literal-weight logistic as the batch gate — model
+        # semantics cannot drift between modes
+        gate = gate & (F.col("__clf__") >= float(min_clf_score))
+    gated = scored.filter(gate).select(
+        "id", "predicted_lang", "n_tokens", "quality"
+    )
 
     writer = (
         gated.writeStream.format("parquet")

@@ -416,3 +416,35 @@ def test_schema_lineage_loop_through_checkpoint(spark, tmp_path):
     assert [f.stem for f in refs] == [
         "000000000001", "000000000002", "000000000003"
     ]
+
+
+def test_streaming_classifier_gate_matches_batch(spark, tmp_path):
+    """The optional model-based gate (min_clf_score) is the same
+    literal-weight logistic in both modes — the gated sets must agree,
+    and the gate must actually drop documents at a high threshold."""
+    from anomaly_detector_faironchain_spark.operators import curation
+    from anomaly_detector_faironchain_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    indir = tmp_path / "in"
+    docs.write.parquet(str(indir / "b0"))
+
+    out = tmp_path / "out"
+    q = curate_stream(
+        spark, f"{indir}/*", docs.schema, str(out),
+        min_quality=0.0, min_clf_score=0.7, available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r.id for r in spark.read.parquet(str(out / "curated")).collect()}
+    want_df = curation.curate_documents(
+        docs, "doc_id", "text", min_quality=0.0, min_clf_score=0.7
+    )
+    want = {r.id for r in want_df.collect()}
+    assert got == want and len(got) > 0
+    # the classifier gate is stricter than no gate
+    no_gate = curation.curate_documents(
+        docs, "doc_id", "text", min_quality=0.0
+    ).count()
+    assert len(want) < no_gate
