@@ -573,3 +573,55 @@ def semantic_dedup(
         .join(dropped, "id", "left")
         .select("id", "cell", F.col("__dup__").isNull().alias("keep"))
     )
+
+
+def hard_negatives(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    positives: DataFrame, k: int = 5,
+    qid_col: str = "qid", pos_col: str = "pos_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query in ``positives`` (qid, pos_id rows — the labeled relevant
+    documents), return the k corpus items MOST similar to the query
+    that are neither the query itself nor any of its labeled positives.
+    Returns (qid, nid, cos) — the negatives that actually teach a
+    contrastive model something.
+
+    Shape: the query vectors and the positive-pair set are both
+    query-sized, so they broadcast; the corpus streams through ONE
+    codegen'd cosine stage and a per-query top-k window — identical
+    cost to cosine_topk, the exclusion join adds no corpus shuffle.
+    At 10^9 corpus × 10^5 queries, swap the brute-force scorer for the
+    IVF/LSH candidate generators upstream; the exclusion logic is
+    unchanged.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")
+    ).withColumn("nrm", _norm(F.col("vec")))
+    pos = positives.select(
+        F.col(qid_col).alias("qid"), F.col(pos_col).alias("pos_id")
+    )
+    q = base.join(
+        pos.select("qid").distinct(),
+        F.col("nid") == F.col("qid"), "left_semi"
+    ).select(
+        F.col("nid").alias("qid"), F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = base.crossJoin(F.broadcast(q)).filter(
+        F.col("nid") != F.col("qid")
+    ).select(
+        "qid", "nid",
+        F.round(
+            _dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")),
+            6,
+        ).cast("double").alias("cos"),
+    )
+    negs = scored.join(
+        F.broadcast(pos.withColumnRenamed("pos_id", "nid")),
+        ["qid", "nid"], "left_anti",
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return negs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    ).drop("rk")

@@ -343,3 +343,60 @@ def leakage_safe_split(
         F.coalesce(F.col("component"), F.col("id")).alias("component"),
     )
     return deterministic_split(labeled, "component", fractions, out_col=out_col)
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    max_weight: float = 4.0,
+    by_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual/LLM "alpha
+    sampling" rule: sample probability ∝ share^alpha): one row per
+    source with (source, n_docs, share, weight), where weight is the
+    per-document epoch multiplier that realizes the tempered
+    distribution — feed it straight into ``mix_corpora``.
+
+    alpha=1 reproduces natural shares (all weights equal); alpha→0
+    approaches uniform over sources (rare sources upsampled hardest).
+    Weights are scaled so the LARGEST upsample factor equals
+    ``max_weight`` (the usual guard against repeating a tiny source
+    hundreds of times); the dominant source therefore gets the smallest
+    weight. ``by_col`` weights by a size column (e.g. token counts from
+    bpe_token_count) instead of document counts.
+
+    Shape: one map-side-combined groupBy to #sources rows, the
+    normalizing sums reduce that tiny frame — the corpus is scanned
+    once and never shuffled.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    size = F.count(F.lit(1)) if by_col is None else F.sum(by_col)
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(
+        size.cast("double").alias("n")
+    )
+    tot = per_src.agg(
+        F.sum("n").alias("tot"),
+    )
+    shared = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n", (F.col("n") / F.col("tot")).alias("share")
+    )
+    # q_i = share^alpha / Σ share^alpha; epoch factor = q_i / share_i,
+    # rescaled so max factor == max_weight
+    powed = shared.select(
+        "source", "n", "share", F.pow("share", F.lit(float(alpha))).alias("pa")
+    )
+    norm = powed.agg(F.sum("pa").alias("z"))
+    raw = powed.crossJoin(F.broadcast(norm)).select(
+        "source", "n", "share",
+        (F.col("pa") / F.col("z") / F.col("share")).alias("raw_w"),
+    )
+    mx = raw.agg(F.max("raw_w").alias("mx"))
+    return raw.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("share", 6).alias("share"),
+        F.round(F.col("raw_w") / F.col("mx") * F.lit(float(max_weight)), 6)
+        .alias("weight"),
+    )

@@ -1936,7 +1936,7 @@ _DRIVER_PRIORITY = [
     #    driver cap, which is fully claimed by VERDICT-mandated entries;
     #    verified by pytest + tools/check_oracles.py instead) ---------------
     "quality_classifier", "semantic_dedup", "leakage_safe_split",
-    "bpe_token_count",
+    "bpe_token_count", "temperature_weights", "hard_negatives",
     # -- north-rule validation core (keep inside the cap every round) ------
     "embedding_validation", "validation_verdicts", "profile_stats",
     "unique_duplicates", "fk_violations_broadcast", "fk_violations_salted",

@@ -1659,3 +1659,43 @@ FROM t
 
 QUERIES.update({"bpe_token_count": q_bpe_token_count})
 ORACLES.update({"bpe_token_count": ORACLE_BPE_TOKEN_COUNT})
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining with labeled positives (qid, qid+1): the top
+    similar corpus items excluding self and the positive."""
+    emb = _emb(spark, sf_dir)
+    pos = emb.select(F.col("vec_id").alias("qid"),
+                     (F.col("vec_id") + 1).alias("pos_id")) \
+             .filter(F.col("qid").isin(_QIDS))
+    out = similarity.hard_negatives(emb, "vec_id", "embedding", pos, k=5)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        "cos",
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH base AS (
+  SELECT vec_id AS nid, embedding AS vec, {_NORM_SQL.format(v='embedding')} AS nrm
+  FROM embeddings
+),
+q AS (SELECT nid AS qid, vec AS qvec, nrm AS qnrm FROM base
+      WHERE nid IN ({', '.join(map(str, _QIDS))})),
+scored AS (
+  SELECT q.qid, base.nid,
+         CAST(ROUND({_DOT_SQL.format(a='base.vec', b='q.qvec')} / (base.nrm * q.qnrm), 6) AS DOUBLE) AS cos
+  FROM base, q WHERE base.nid <> q.qid AND base.nid <> q.qid + 1
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos
+FROM rk WHERE r <= 5
+"""
+
+
+QUERIES.update({"hard_negatives": q_hard_negatives})
+ORACLES.update({"hard_negatives": ORACLE_HARD_NEGATIVES})

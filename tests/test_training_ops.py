@@ -191,3 +191,27 @@ def test_write_training_shards_sorted_and_capped(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1, f1), (lo2, hi2, f2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping shard ranges {f1} {f2}"
+
+
+def test_temperature_weights_semantics(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from anomaly_detector_faironchain_spark.operators.training import (
+        temperature_weights,
+    )
+
+    out = temperature_weights(docs, "source", alpha=0.5, max_weight=4.0).cache()
+    rows = {r.source: r for r in out.collect()}
+    assert len(rows) == docs.select("source").distinct().count()
+    # the rarest source gets the max weight; the dominant source the min
+    by_n = sorted(rows.values(), key=lambda r: r.n_docs)
+    assert abs(by_n[0].weight - 4.0) < 1e-6 or by_n[0].weight <= 4.0
+    assert max(r.weight for r in rows.values()) <= 4.0 + 1e-9
+    smallest = min(rows.values(), key=lambda r: r.n_docs)
+    largest = max(rows.values(), key=lambda r: r.n_docs)
+    assert smallest.weight >= largest.weight
+    # alpha=1 keeps natural shares: all weights equal (== max_weight)
+    flat = temperature_weights(docs, "source", alpha=1.0, max_weight=2.0)
+    ws = {r.weight for r in flat.collect()}
+    assert all(abs(w - 2.0) < 1e-6 for w in ws)
+    with pytest.raises(ValueError):
+        temperature_weights(docs, "source", alpha=-0.1)
