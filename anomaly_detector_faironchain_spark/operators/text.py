@@ -10,6 +10,8 @@ the DuckDB oracles.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -489,4 +491,87 @@ def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.when(n_bpe > 0, F.length(F.col(text_col)) / n_bpe).otherwise(F.lit(0.0)),
             4,
         ).cast("double").alias("chars_per_token"),
+    )
+
+
+def _char_ngrams(text_col: str, n: int):
+    """Array of overlapping character n-grams; empty for texts shorter
+    than n (guarded — sequence(1, len-n+1) would otherwise run DESCENDING
+    for short texts, the char_entropy empty-doc bug class)."""
+    c = F.col(text_col)
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngram_model(
+    ref: DataFrame, text_col: str, n: int = 3, top_k: int = 50_000
+) -> DataFrame:
+    """Character n-gram language model from a reference corpus:
+    (ngram, cnt, logp) for the top_k most frequent n-grams, with
+    logp = ln(cnt / total) where total counts EVERY n-gram occurrence
+    (the dropped tail keeps its probability mass — unseen n-grams score
+    the floor at scoring time, the standard truncated-LM convention).
+
+    The reference corpus is a curated in-domain SAMPLE (CCNet trains on
+    Wikipedia, not the crawl), so the n-gram explode+count here runs
+    over bounded input; the model itself is top_k rows — broadcast-sized
+    by construction. Ties in the top_k cut break deterministically
+    (count DESC, ngram ASC), so the model is reproducible run-to-run.
+    """
+    grams = _char_ngrams(text_col, n)
+    counts = (
+        ref.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("tot"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("ngram").asc()).limit(top_k)
+    return top.crossJoin(F.broadcast(total)).select(
+        "ngram", "cnt",
+        F.round(F.log(F.col("cnt") / F.col("tot")), 6).alias("logp"),
+    )
+
+
+def cross_entropy_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    n: int = 3,
+    floor_logp: float = -20.0,
+) -> DataFrame:
+    """CCNet-style LM quality filter: per-document cross-entropy under a
+    char n-gram model — (id, n_ngrams, bits_per_ngram), lower = more
+    in-domain, perplexity = 2^bits_per_ngram. Documents shorter than n
+    have no n-grams and are omitted (they carry no LM evidence; gate
+    them on length instead).
+
+    Shape at corpus scale: the model is broadcast (top_k rows), so the
+    n-gram explode joins it MAP-SIDE; the groupBy(id) that follows
+    map-side-combines every document's n-grams back to ONE row inside
+    the originating partition (explode preserves row locality), so the
+    shuffle carries doc-count rows, never n-gram-count rows. Unseen
+    n-grams take floor_logp (model logp is 6-dp rounded before
+    averaging so the float fold is engine-stable; the mean is 4-dp).
+
+    Reference role: the learned sibling of the rule-based quality gates
+    (reference rule_based_anomaly_detection.py's threshold flags) — a
+    score distribution to threshold, not a hand predicate.
+    """
+    grams = _char_ngrams(text_col, n)
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("ngram")
+    )
+    joined = exploded.join(
+        F.broadcast(model.select("ngram", "logp")), "ngram", "left"
+    )
+    lp = F.coalesce(F.col("logp"), F.lit(float(floor_logp)))
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.round(-F.avg(lp) / math.log(2.0), 4).cast("double")
+        .alias("bits_per_ngram"),
     )

@@ -1699,3 +1699,57 @@ FROM rk WHERE r <= 5
 
 QUERIES.update({"hard_negatives": q_hard_negatives})
 ORACLES.update({"hard_negatives": ORACLE_HARD_NEGATIVES})
+
+
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM trained on the English subset (in-domain
+    reference), cross-entropy scored over the whole corpus; top_k=5000
+    keeps the model truncated so the unseen-ngram floor is exercised."""
+    docs = _docs(spark, sf_dir)
+    model = text_ops.char_ngram_model(
+        docs.filter(F.col("lang") == "en"), "text", n=3, top_k=5000
+    )
+    out = text_ops.cross_entropy_score(docs, "doc_id", "text", model, n=3)
+    return out.select(
+        F.col("id").cast("long").alias("id"), "n_ngrams", "bits_per_ngram"
+    )
+
+
+ORACLE_NGRAM_PERPLEXITY = """
+WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+g AS (
+  SELECT substr(text, CAST(i AS INT), 3) AS ngram
+  FROM ref, LATERAL unnest(generate_series(1, length(text) - 2)) t(i)
+  WHERE length(text) >= 3
+),
+c AS (SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c),
+top AS (
+  SELECT ngram, cnt FROM (
+    SELECT ngram, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram ASC) AS r
+    FROM c
+  ) WHERE r <= 5000
+),
+model AS (
+  SELECT ngram, CAST(ROUND(ln(cnt / tot), 6) AS DOUBLE) AS logp
+  FROM top, tot
+),
+dg AS (
+  SELECT doc_id AS id, substr(text, CAST(i AS INT), 3) AS ngram
+  FROM documents, LATERAL unnest(generate_series(1, length(text) - 2)) t(i)
+  WHERE length(text) >= 3
+),
+j AS (
+  SELECT id, COALESCE(m.logp, -20.0) AS logp
+  FROM dg LEFT JOIN model m USING (ngram)
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(ROUND(-AVG(logp) / ln(2), 4) AS DOUBLE) AS bits_per_ngram
+FROM j GROUP BY id
+"""
+
+
+QUERIES.update({"ngram_perplexity": q_ngram_perplexity})
+ORACLES.update({"ngram_perplexity": ORACLE_NGRAM_PERPLEXITY})

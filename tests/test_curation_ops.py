@@ -893,3 +893,36 @@ def test_hard_negatives_excludes_self_and_positives(spark):
     # negatives are the hardest available: each must score >= the best
     # excluded-positive-free item outside the top-k (monotone list)
     assert all(v == sorted(v, reverse=True) for v in per_q.values())
+
+
+def test_ngram_perplexity_separates_in_domain_from_out_of_domain(spark, docs):
+    model = text_ops.char_ngram_model(
+        docs.filter(F.col("lang") == "en"), "text", n=3, top_k=5000
+    )
+    out = text_ops.cross_entropy_score(docs, "doc_id", "text", model, n=3)
+    scored = out.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    ).groupBy("lang").agg(F.avg("bits_per_ngram").alias("bits")).collect()
+    bits = {r.lang: r.bits for r in scored}
+    # the English model must score English text as most in-domain
+    # (the synthetic corpus' other "languages" are mostly latin tokens
+    # too, so only the ordering — not a wide margin — is guaranteed)
+    assert bits["en"] == min(bits.values())
+    # genuinely out-of-domain text (symbol soup: unseen trigrams →
+    # floor) must sit far above the in-domain average
+    soup = spark.createDataFrame(
+        [(99, "@#$%^&*()_+{}|:<>?~`@#$%^&*()_+{}|:<>?~`")],
+        "doc_id long, text string",
+    )
+    soup_bits = text_ops.cross_entropy_score(
+        soup, "doc_id", "text", model
+    ).first().bits_per_ngram
+    assert soup_bits > bits["en"] + 5.0
+    # short/empty docs carry no n-grams and are omitted, never crash
+    tiny = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None), (4, "abcd")],
+        "doc_id long, text string",
+    )
+    rows = text_ops.cross_entropy_score(tiny, "doc_id", "text", model).collect()
+    assert {r.id for r in rows} == {4}
+    assert rows[0].n_ngrams == 2
