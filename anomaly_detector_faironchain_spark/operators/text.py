@@ -575,3 +575,50 @@ def cross_entropy_score(
         F.round(-F.avg(lp) / math.log(2.0), 4).cast("double")
         .alias("bits_per_ngram"),
     )
+
+
+# U+2018 U+2019 U+201C U+201D U+2013 U+2014 U+2212 U+00A0 TAB -> ASCII
+NORM_TRANSLATE_SRC = "\u2018\u2019\u201c\u201d\u2013\u2014\u2212\u00a0\t"
+NORM_TRANSLATE_DST = "''\"\"---  "
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = False,
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization — the cleanup stage that runs BEFORE
+    hashing/shingling so that cosmetic variants (curly quotes, em
+    dashes, NBSP, control chars, ragged whitespace) do not defeat exact
+    and near dedup. Returns (id, out_col, changed).
+
+    Steps, in order (each a plain column expression; the whole operator
+    is ONE map-only codegen'd projection):
+      1. unify unicode punctuation to ASCII: curly single/double quotes
+         → ' / ", en/em dash and minus → -, ellipsis → "...";
+      2. map NBSP and tab to space, strip other C0 control chars;
+      3. collapse whitespace runs to single spaces and trim;
+      4. optional lowercase.
+    `changed` flags rows the normalization actually altered — the audit
+    column that lets a pipeline count normalization impact for free.
+
+    Engine-portable by construction (translate + regexp_replace exist
+    identically in DuckDB), which is what makes the oracle exact.
+    """
+    c = F.col(text_col)
+    # curly quotes / dashes / ellipsis -> ASCII (translate is 1:1 per
+    # char; explicit escape constants, not invisible literals)
+    step = F.translate(c, NORM_TRANSLATE_SRC, NORM_TRANSLATE_DST)
+    step = F.regexp_replace(step, "…", "...")
+    # strip remaining C0 controls (keep \n for the whitespace collapse)
+    step = F.regexp_replace(step, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    step = F.trim(F.regexp_replace(step, "\\s+", " "))
+    if lowercase:
+        step = F.lower(step)
+    return df.select(
+        F.col(id_col).alias("id"),
+        step.alias(out_col),
+        (~step.eqNullSafe(c)).alias("changed"),
+    )

@@ -1937,7 +1937,7 @@ _DRIVER_PRIORITY = [
     #    verified by pytest + tools/check_oracles.py instead) ---------------
     "quality_classifier", "semantic_dedup", "leakage_safe_split",
     "bpe_token_count", "temperature_weights", "hard_negatives",
-    "ngram_perplexity",
+    "ngram_perplexity", "normalize_text",
     # -- north-rule validation core (keep inside the cap every round) ------
     "embedding_validation", "validation_verdicts", "profile_stats",
     "unique_duplicates", "fk_violations_broadcast", "fk_violations_salted",

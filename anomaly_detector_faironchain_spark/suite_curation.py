@@ -1753,3 +1753,52 @@ FROM j GROUP BY id
 
 QUERIES.update({"ngram_perplexity": q_ngram_perplexity})
 ORACLES.update({"ngram_perplexity": ORACLE_NGRAM_PERPLEXITY})
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization over documents augmented with a messy variant
+    (curly quotes, NBSP, tabs, control chars, ragged spaces injected at
+    doc_id+100000) so the cleanup path is actually exercised."""
+    docs = _docs(spark, sf_dir)
+    messy = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("“Q” —   "),
+            F.col("text"),
+            F.lit("\t trailing…  "),
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(messy)
+    return text_ops.normalize_text(aug, "doc_id", "text").select(
+        F.col("id").cast("long").alias("id"), "norm_text", "changed"
+    )
+
+
+def _normalize_text_oracle() -> str:
+    src = text_ops.NORM_TRANSLATE_SRC
+    dst = text_ops.NORM_TRANSLATE_DST.replace("'", "''")
+    return f"""
+WITH aug AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS id,
+         '“Q” —   ' || text || chr(9) || ' trailing…  ' AS text
+  FROM documents
+),
+n AS (
+  SELECT id, text,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(translate(text, '{src}', '{dst}'), '…', '...', 'g'),
+        '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+      '\\s+', ' ', 'g')) AS norm_text
+  FROM aug
+)
+SELECT CAST(id AS BIGINT) AS id, norm_text,
+       norm_text IS DISTINCT FROM text AS changed
+FROM n
+"""
+
+
+QUERIES.update({"normalize_text": q_normalize_text})
+ORACLES.update({"normalize_text": _normalize_text_oracle()})

@@ -926,3 +926,25 @@ def test_ngram_perplexity_separates_in_domain_from_out_of_domain(spark, docs):
     rows = text_ops.cross_entropy_score(tiny, "doc_id", "text", model).collect()
     assert {r.id for r in rows} == {4}
     assert rows[0].n_ngrams == 2
+
+
+def test_normalize_text_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "“Hi” — it’s fine\t now…  "),
+         (2, "already clean"),
+         (3, None),
+         (4, "ctrl\x07chars\x1fhere")],
+        "doc_id long, text string",
+    )
+    got = {r.id: (r.norm_text, r.changed)
+           for r in text_ops.normalize_text(df, "doc_id", "text").collect()}
+    assert got[1] == ('"Hi" - it\'s fine now...', True)
+    assert got[2] == ("already clean", False)
+    assert got[3] == (None, False)
+    assert got[4] == ("ctrlcharshere", True)
+    # normalization makes cosmetic variants hash-identical
+    pair = spark.createDataFrame(
+        [(1, "a — b"), (2, "a  -  b")], "doc_id long, text string"
+    )
+    norm = text_ops.normalize_text(pair, "doc_id", "text")
+    assert norm.select("norm_text").distinct().count() == 1

@@ -423,3 +423,12 @@ def test_corpus_profile_single_scan_and_no_body_shuffle(spark):
                         "document body crossed an exchange:\n" + p
                     )
                     break
+
+
+def test_normalize_text_is_maponly(spark):
+    from anomaly_detector_faironchain_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(text_ops.normalize_text(docs, "doc_id", "text"))
+    assert ") Exchange" not in p, p
+    assert "* Project" in p, p
