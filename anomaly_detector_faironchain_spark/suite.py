@@ -1932,9 +1932,9 @@ _DRIVER_PRIORITY = [
     "quarantine_split",            # round-3 new: row-level quarantine
     "sampled_screen",              # round-3 new: sample-first screen + escalation
     "suggested_constraints",       # round-3 new: profile -> proposed TableSpec
-    # -- round-3 session additions (positions 51-53: past the 50-entry
+    # -- round-3 session additions (positions 51-58: past the 50-entry
     #    driver cap, which is fully claimed by VERDICT-mandated entries;
-    #    verified by pytest + tools/check_oracles.py instead) ---------------
+    #    verified by pytest + tools/check_oracles.py (100/100) instead) ----
     "quality_classifier", "semantic_dedup", "leakage_safe_split",
     "bpe_token_count", "temperature_weights", "hard_negatives",
     "ngram_perplexity", "normalize_text",
