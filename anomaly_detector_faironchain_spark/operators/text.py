@@ -497,19 +497,30 @@ def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _char_ngrams(text_col: str, n: int):
     """Array of overlapping character n-grams; empty for texts shorter
     than n (guarded — sequence(1, len-n+1) would otherwise run DESCENDING
-    for short texts, the char_entropy empty-doc bug class)."""
+    for short texts, the char_entropy empty-doc bug class).
+
+    Implementation note (measured, not theoretical): substring(text, i,
+    n) per position is O(len) per call on UTF8String (char indexing
+    scans from the start), i.e. O(len²) per document — invisible on the
+    200-char oracle docs, a 1000x stall on 4-16 KB corpus documents.
+    Splitting to a char array ONCE and slicing it (offset-indexed,
+    O(n) per gram) makes extraction O(len·n). Surrogate-pair caveat:
+    split('') yields UTF-16 units for astral chars; BMP text (all of
+    the oracle corpus) is unaffected."""
     c = F.col(text_col)
+    chars = F.split(c, "")
     return F.when(
         F.length(c) >= n,
         F.transform(
             F.sequence(F.lit(1), F.length(c) - (n - 1)),
-            lambda i: c.substr(i, F.lit(n)),
+            lambda i: F.array_join(F.slice(chars, i, n), ""),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngram_model(
-    ref: DataFrame, text_col: str, n: int = 3, top_k: int = 50_000
+    ref: DataFrame, text_col: str, n: int = 3, top_k: int = 50_000,
+    method: str = "arrow",
 ) -> DataFrame:
     """Character n-gram language model from a reference corpus:
     (ngram, cnt, logp) for the top_k most frequent n-grams, with
@@ -523,11 +534,33 @@ def char_ngram_model(
     by construction. Ties in the top_k cut break deterministically
     (count DESC, ngram ASC), so the model is reproducible run-to-run.
     """
-    grams = _char_ngrams(text_col, n)
-    counts = (
-        ref.select(F.explode(grams).alias("ngram"))
-        .groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    if method == "arrow":
+        import pandas as pd  # local: executor import
+
+        def partial_counts(batches):
+            from collections import Counter
+
+            for pdf in batches:
+                cnt = Counter()
+                for t in pdf["__t__"]:
+                    if t is not None and len(t) >= n:
+                        cnt.update(t[i:i + n] for i in range(len(t) - n + 1))
+                if cnt:
+                    yield pd.DataFrame(
+                        {"ngram": list(cnt.keys()), "c": list(cnt.values())}
+                    )
+
+        counts = (
+            ref.select(F.col(text_col).alias("__t__"))
+            .mapInPandas(partial_counts, "ngram string, c long")
+            .groupBy("ngram").agg(F.sum("c").alias("cnt"))
+        )
+    else:
+        grams = _char_ngrams(text_col, n)
+        counts = (
+            ref.select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
+        )
     total = counts.agg(F.sum("cnt").cast("double").alias("tot"))
     top = counts.orderBy(F.col("cnt").desc(), F.col("ngram").asc()).limit(top_k)
     return top.crossJoin(F.broadcast(total)).select(
@@ -543,6 +576,7 @@ def cross_entropy_score(
     model: DataFrame,
     n: int = 3,
     floor_logp: float = -20.0,
+    method: str = "arrow",
 ) -> DataFrame:
     """CCNet-style LM quality filter: per-document cross-entropy under a
     char n-gram model — (id, n_ngrams, bits_per_ngram), lower = more
@@ -550,18 +584,59 @@ def cross_entropy_score(
     have no n-grams and are omitted (they carry no LM evidence; gate
     them on length instead).
 
-    Shape at corpus scale: the model is broadcast (top_k rows), so the
-    n-gram explode joins it MAP-SIDE; the groupBy(id) that follows
-    map-side-combines every document's n-grams back to ONE row inside
-    the originating partition (explode preserves row locality), so the
-    shuffle carries doc-count rows, never n-gram-count rows. Unseen
-    n-grams take floor_logp (model logp is 6-dp rounded before
-    averaging so the float fold is engine-stable; the mean is 4-dp).
+    Shape at corpus scale (method="arrow", default): the model is a
+    driver dict broadcast once (top_k entries); ONE mapInPandas pass
+    bills every document inside its own partition — zero shuffles, the
+    scoring loop is a dict-get per n-gram. method="sql" is the
+    pure-expression oracle formulation (explode → broadcast join →
+    map-side-combined groupBy(id)); correct but O(len²) in document
+    size from the per-element lambda (see char_ngram_model) — small-doc
+    oracle use only. Unseen n-grams take floor_logp (model logp is 6-dp
+    rounded before averaging so the float fold is engine-stable; the
+    mean is 4-dp, which absorbs the two methods' summation-order ulps).
 
     Reference role: the learned sibling of the rule-based quality gates
     (reference rule_based_anomaly_detection.py's threshold flags) — a
     score distribution to threshold, not a hand predicate.
     """
+    if method == "arrow":
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        lut = {r["ngram"]: float(r["logp"])
+               for r in model.select("ngram", "logp").collect()}
+        bc = df.sparkSession.sparkContext.broadcast(lut)
+        fl = float(floor_logp)
+        ln2 = math.log(2.0)
+
+        def score(batches):
+            d = bc.value
+            g = d.get
+            for pdf in batches:
+                ids, cnts, bits = [], [], []
+                for i, t in zip(pdf["__id__"], pdf["__t__"]):
+                    if t is None or len(t) < n:
+                        continue
+                    m = len(t) - n + 1
+                    ssum = 0.0
+                    for j in range(m):
+                        ssum += g(t[j:j + n], fl)
+                    ids.append(i)
+                    cnts.append(m)
+                    bits.append(round(-ssum / m / ln2, 4))
+                yield pd.DataFrame(
+                    {"id": ids, "n_ngrams": cnts, "bits_per_ngram": bits}
+                )
+
+        out_schema = T.StructType([
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("n_ngrams", T.LongType()),
+            T.StructField("bits_per_ngram", T.DoubleType()),
+        ])
+        return df.select(
+            F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__")
+        ).mapInPandas(score, out_schema)
+
     grams = _char_ngrams(text_col, n)
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(grams).alias("ngram")

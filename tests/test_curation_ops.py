@@ -948,3 +948,24 @@ def test_normalize_text_known_values(spark):
     )
     norm = text_ops.normalize_text(pair, "doc_id", "text")
     assert norm.select("norm_text").distinct().count() == 1
+
+
+def test_ngram_lm_arrow_and_sql_methods_agree(spark, docs):
+    """The Arrow scale path and the pure-SQL oracle formulation must
+    produce the identical model (exact integer counts) and identical
+    4-dp scores."""
+    ref = docs.filter(F.col("lang") == "en")
+    m_sql = text_ops.char_ngram_model(ref, "text", n=3, top_k=2000,
+                                      method="sql")
+    m_arrow = text_ops.char_ngram_model(ref, "text", n=3, top_k=2000,
+                                        method="arrow")
+    as_set = lambda df: {(r.ngram, r.cnt, r.logp) for r in df.collect()}
+    assert as_set(m_sql) == as_set(m_arrow)
+
+    s_sql = text_ops.cross_entropy_score(docs, "doc_id", "text", m_arrow,
+                                         method="sql")
+    s_arrow = text_ops.cross_entropy_score(docs, "doc_id", "text", m_arrow,
+                                           method="arrow")
+    rows = lambda df: {(r.id, r.n_ngrams, r.bits_per_ngram)
+                       for r in df.collect()}
+    assert rows(s_sql) == rows(s_arrow)
