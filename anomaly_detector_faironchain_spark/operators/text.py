@@ -43,15 +43,29 @@ def token_stat_cols(text_col: str) -> dict:
     )
     stop_in = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
-    alpha_ratio = alpha_chars / n_chars
-    stop_ratio = stop_in / n_tokens
+    # ANSI-safe empty-text guards (same bug class as the char_entropy
+    # fix): an empty document has n_chars = 0, and under this engine's
+    # ANSI mode the unguarded ratio ABORTS the whole job with
+    # DIVIDE_BY_ZERO — empty documents are routine in crawl corpora.
+    # Convention: empty text scores 0.0 on every ratio (worthless
+    # quality); the `== 0` test keeps NULL text flowing to the
+    # null-propagating branch so null semantics are unchanged.
+    alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        alpha_chars / n_chars
+    )
+    stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        stop_in / n_tokens
+    )
     quality = 100.0 * (
         0.5 * alpha_ratio + 0.5 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    avg_token_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        tok_len_sum / n_tokens
     )
     return {
         "n_tokens": n_tokens.cast("long"),
         "n_chars": n_chars.cast("long"),
-        "avg_token_len": F.round(tok_len_sum / n_tokens, 4).cast("double"),
+        "avg_token_len": F.round(avg_token_len, 4).cast("double"),
         "alpha_ratio": F.round(alpha_ratio, 4).cast("double"),
         "stop_ratio": F.round(stop_ratio, 4).cast("double"),
         "quality": F.round(quality, 4).cast("double"),

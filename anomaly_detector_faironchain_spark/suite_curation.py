@@ -879,11 +879,11 @@ m AS (
   FROM t
 )
 SELECT id, n_tokens, n_chars,
-  CAST(ROUND(tok_len_sum * 1.0 / n_tokens, 4) AS DOUBLE) AS avg_token_len,
-  CAST(ROUND(alpha_chars * 1.0 / n_chars, 4) AS DOUBLE) AS alpha_ratio,
-  CAST(ROUND(stop_in * 1.0 / n_tokens, 4) AS DOUBLE) AS stop_ratio,
-  CAST(ROUND(100.0 * (0.5 * (alpha_chars * 1.0 / n_chars)
-       + 0.5 * LEAST((stop_in * 1.0 / n_tokens) * 5.0, 1.0)), 4) AS DOUBLE) AS quality
+  CAST(ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_len_sum * 1.0 / n_tokens END, 4) AS DOUBLE) AS avg_token_len,
+  CAST(ROUND(CASE WHEN n_chars = 0 THEN 0.0 ELSE alpha_chars * 1.0 / n_chars END, 4) AS DOUBLE) AS alpha_ratio,
+  CAST(ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_in * 1.0 / n_tokens END, 4) AS DOUBLE) AS stop_ratio,
+  CAST(ROUND(100.0 * (0.5 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE alpha_chars * 1.0 / n_chars END)
+       + 0.5 * LEAST((CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_in * 1.0 / n_tokens END) * 5.0, 1.0)), 4) AS DOUBLE) AS quality
 FROM m
 """
 
@@ -1502,9 +1502,9 @@ m AS (
 ),
 f AS (
   SELECT id,
-    CAST(ROUND(alpha_chars * 1.0 / n_chars, 4) AS DOUBLE) AS alpha_ratio,
-    CAST(ROUND(stop_in * 1.0 / n_tokens, 4) AS DOUBLE) AS stop_ratio,
-    CAST(ROUND(tok_len_sum * 1.0 / n_tokens, 4) AS DOUBLE) AS avg_token_len,
+    CAST(ROUND(CASE WHEN n_chars = 0 THEN 0.0 ELSE alpha_chars * 1.0 / n_chars END, 4) AS DOUBLE) AS alpha_ratio,
+    CAST(ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_in * 1.0 / n_tokens END, 4) AS DOUBLE) AS stop_ratio,
+    CAST(ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_len_sum * 1.0 / n_tokens END, 4) AS DOUBLE) AS avg_token_len,
     ln(1.0 + n_tokens) AS log_tokens
   FROM m
 ),

@@ -969,3 +969,30 @@ def test_ngram_lm_arrow_and_sql_methods_agree(spark, docs):
     rows = lambda df: {(r.id, r.n_ngrams, r.bits_per_ngram)
                        for r in df.collect()}
     assert rows(s_sql) == rows(s_arrow)
+
+
+def test_token_stats_and_classifier_survive_empty_documents(spark):
+    """Regression for the ANSI DIVIDE_BY_ZERO abort: an empty document
+    (n_chars = 0) must score (0-ratios, quality 0) instead of killing
+    the whole job; NULL text keeps null semantics. Empty docs are
+    routine in crawl corpora."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "the cat sat")],
+        "doc_id long, text string",
+    )
+    ts = {r.id: r for r in text_ops.token_stats(df, "doc_id", "text").collect()}
+    assert (ts[1].n_chars, ts[1].alpha_ratio, ts[1].stop_ratio,
+            ts[1].quality) == (0, 0.0, 0.0, 0.0)
+    assert ts[2].alpha_ratio is None and ts[2].quality is None
+    assert ts[3].quality > 0
+    qc = {r.id: r for r in
+          text_ops.quality_classifier(df, "doc_id", "text").collect()}
+    assert qc[1].quality_score is not None and qc[1].keep is False
+    assert qc[2].quality_score is None
+    # the composed curation gate must also survive empty docs
+    from anomaly_detector_faironchain_spark.operators import curation
+    out = curation.curate_documents(
+        df.filter("text IS NOT NULL"), "doc_id", "text", min_tokens=1,
+        min_quality=0.0,
+    )
+    assert {r.id for r in out.collect()} == {1, 3}
