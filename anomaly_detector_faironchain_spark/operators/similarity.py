@@ -361,6 +361,10 @@ def kmeans_centroids(
         .orderBy("id").limit(k).collect()
     )
     centroids = [list(map(float, r.v)) for r in init_rows]
+    if not centroids:
+        return []  # empty corpus: callers get no cells (semantic_dedup
+        #            returns an empty result; ivf callers must check)
+    k = len(centroids)  # corpus smaller than k: every row is a centroid
     base = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(iters):
         c = np.asarray(centroids, dtype=np.float64)          # (k, d)
@@ -523,6 +527,12 @@ def semantic_dedup(
     retention (build_abstract_transaction.py:43) to embedding space.
     """
     cents = kmeans_centroids(corpus, id_col, vec_col, k=k, iters=iters)
+    if not cents:  # empty corpus in, empty result out
+        return corpus.select(
+            F.col(id_col).alias("id"),
+            F.lit(0).cast("int").alias("cell"),
+            F.lit(True).alias("keep"),
+        ).filter(F.lit(False))
     assign = _assign_udf(cents)
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # (id, cell) is needed by BOTH the pair-candidate branch and the

@@ -996,3 +996,20 @@ def test_token_stats_and_classifier_survive_empty_documents(spark):
         min_quality=0.0,
     )
     assert {r.id for r in out.collect()} == {1, 3}
+
+
+def test_semantic_dedup_degenerate_corpora(spark):
+    """Corpus smaller than k (every row becomes a centroid) and an
+    empty corpus (empty result, stable schema) must not crash —
+    kmeans_centroids previously indexed past its init rows."""
+    emb = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(64)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.semantic_dedup(emb, "vec_id", "embedding",
+                                    k=16, iters=1, threshold=0.99)
+    assert out.count() == 3
+    empty = emb.filter("vec_id < 0")
+    out = similarity.semantic_dedup(empty, "vec_id", "embedding", k=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "cell", "keep"]
