@@ -6,18 +6,17 @@ language/source mix, token budgets (whitespace AND BPE-ish), exact-dup
 rate, and the quality-score distribution.
 
 Pass discipline (the 100 TB contract every driver-facing surface in
-this engine follows):
-  * ONE fused map-only projection computes every per-document stat
-    (lang, source, chars, ws/bpe tokens, quality score, content md5) —
-    the text column is read once and never shuffles;
-  * ONE aggregation pass reduces that projection: corpus totals and
-    the quality histogram ride a single groupBy(lang) (languages are
-    few, the shuffle carries ~#langs × ~20 numbers), per-source rows
-    ride a second groupBy over (source) pairs;
-  * the dup rate uses approx_count_distinct over the md5 digest inside
-    the same agg — exact distinct would force a digest shuffle; the
-    report labels it as approximate.
-  Driver-side cost is (#langs + #top_sources) rows — KBs at any scale.
+this engine follows): the per-lang metrics run as THREE codegen'd
+scan-and-reduce jobs (counts/sizes, quality histogram, HLL digests)
+plus one per-source job — measured at 2M heavy docs, fusing all the
+stat families into one projection knocks the stage out of whole-stage
+codegen and runs ~15x slower than the three scans it replaces (a
+>9-minute stall vs 105 s; BENCH/curation_ops_scale_audit_r3.json).
+Every job map-side-combines to #langs (or #sources) rows; bodies
+never shuffle; the dup rate is approx_count_distinct over md5 (an
+imperative aggregate deliberately isolated with cheap inputs, since
+ObjectHashAggregate also disables codegen for its stage). Driver-side
+cost is (#langs + #top_sources) rows — KBs at any scale.
 """
 from __future__ import annotations
 
@@ -46,42 +45,52 @@ def corpus_profile(
         F.col(text_col), F.lit(text_ops.BPE_SPLIT_PATTERN), F.lit(0)
     )
     stats = text_ops.token_stat_cols(text_col)
-    # fused per-document projection: every stat in one pass, no joins;
-    # the quality score is the SAME literal-weight logistic as
-    # text.quality_classifier, inlined (text.quality_score_col) so the whole
-    # projection stays one codegen stage instead of a join on id
-    per_doc = docs.select(
+    # Scan discipline (measured, see BENCH/curation_ops_scale_audit_r3):
+    # fusing ALL per-doc stat families into one projection knocks the
+    # stage out of whole-stage codegen (the combined tree is ~15x
+    # slower than the sum of its parts — each family alone runs at
+    # codegen speed). So the report pays THREE cheap codegen'd
+    # scan-and-reduce jobs instead of one interpreted mega-scan:
+    #   L1 counts/sizes, L2 quality score + histogram, L3 HLL digests
+    # (imperative agg, kept away from heavy inputs on purpose).
+    # Each reduces to #langs rows map-side; the joins are negligible.
+    l1 = docs.select(
         F.col(lang_col).alias("lang"),
-        F.col(source_col).alias("source"),
         stats["n_chars"].alias("n_chars"),
         stats["n_tokens"].alias("n_ws_tokens"),
         F.size(toks).cast("long").alias("n_bpe_tokens"),
-        F.md5(F.col(text_col)).alias("digest"),
-        # quality bucket via the same literal-weight logistic the
-        # quality_classifier query uses — recomputed inline so the
-        # whole projection stays one codegen stage (no join on id)
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_ws_tokens").alias("n_ws_tokens"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+    )
+    qs = text_ops.quality_score_col(text_col)
+    qdoc = docs.select(F.col(lang_col).alias("lang"), qs.alias("qscore"))
+    qdoc = qdoc.select(
+        "lang", "qscore",
         F.least(
-            F.floor(
-                text_ops.quality_score_col(text_col) * _QUALITY_BUCKETS
-            ).cast("int"),
+            F.floor(F.col("qscore") * _QUALITY_BUCKETS).cast("int"),
             F.lit(_QUALITY_BUCKETS - 1),
         ).alias("qbucket"),
-        text_ops.quality_score_col(text_col).alias("qscore"),
     )
     hist_cols = [
         F.sum((F.col("qbucket") == b).cast("long")).alias(f"q{b}")
         for b in range(_QUALITY_BUCKETS)
     ]
-    per_lang = per_doc.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("n_chars"),
-        F.sum("n_ws_tokens").alias("n_ws_tokens"),
-        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
-        F.approx_count_distinct("digest").alias("approx_distinct"),
-        F.round(F.avg("qscore"), 4).alias("mean_quality"),
-        *hist_cols,
+    l2 = qdoc.groupBy("lang").agg(
+        F.round(F.avg("qscore"), 4).alias("mean_quality"), *hist_cols
     )
-    per_source = per_doc.groupBy("source").agg(
+    l3 = docs.select(
+        F.col(lang_col).alias("lang"), F.md5(F.col(text_col)).alias("digest")
+    ).groupBy("lang").agg(
+        F.approx_count_distinct("digest").alias("approx_distinct")
+    )
+    per_lang = l1.join(l2, "lang").join(l3, "lang")
+    per_source = docs.select(
+        F.col(source_col).alias("source"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+    ).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
     )
