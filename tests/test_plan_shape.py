@@ -414,7 +414,12 @@ def test_corpus_profile_three_codegen_scans_no_body_shuffle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     per_lang, _ = corpus_profile(docs)
     p = plan(per_lang)
-    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 3, p
+    # another test module may have cached this parquet — the scans then
+    # show as 3 InMemoryTableScans over ONE shared parquet scan; count
+    # whichever scan kind feeds the three jobs
+    ims = len(re.findall(r"^\(\d+\) InMemoryTableScan", p, re.M))
+    pq = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+    assert (ims == 3) or (ims == 0 and pq == 3), p
     lines = p.splitlines()
     for i, ln in enumerate(lines):
         if ") Exchange" in ln:
