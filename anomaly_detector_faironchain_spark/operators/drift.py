@@ -65,15 +65,16 @@ def categorical_histogram(
 def _normalized_join(cur: DataFrame, ref: DataFrame, by_group: bool) -> DataFrame:
     """Full-outer join of the two histograms with smoothed probabilities."""
     join_keys = (["group_id"] if by_group else []) + ["bucket"]
-    # single-group windows partition on a literal: same plan over these
-    # tiny histogram frames, but silences WindowExec's "No Partition
-    # Defined" warning that would mask real ones in production logs
+    # single-group windows run over tiny histogram frames only; their
+    # WindowExec "No Partition Defined" warning is silenced session-wide
+    # (session.py _silence_window_warning — a lit(0) key does not work,
+    # Catalyst constant-folds it away)
     cw = (Window.partitionBy("group_id") if by_group
-          else Window.partitionBy(F.lit(0)))
+          else Window.partitionBy())
     cur_p = cur.withColumn("p_raw", F.col("cnt") / F.sum("cnt").over(cw)).drop("cnt")
     ref_p = ref.withColumnRenamed("cnt", "rcnt")
     rw = (Window.partitionBy("group_id") if by_group
-          else Window.partitionBy(F.lit(0)))
+          else Window.partitionBy())
     ref_p = ref_p.withColumn("q_raw", F.col("rcnt") / F.sum("rcnt").over(rw)).drop(
         "rcnt"
     )
@@ -110,7 +111,7 @@ def ks(cur: DataFrame, ref: DataFrame, by_group: bool = False) -> DataFrame:
     w = (
         Window.partitionBy(*keys).orderBy("bucket")
         if keys
-        else Window.partitionBy(F.lit(0)).orderBy("bucket")
+        else Window.partitionBy().orderBy("bucket")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cdf = j.select(
         *keys,

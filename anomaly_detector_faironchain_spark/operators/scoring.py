@@ -241,13 +241,15 @@ def distributed_avg_rank(
         pid = F.lit(0)
     part = nn.withColumn("__pid__", pid)
     totals = part.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__pc__"))
-    # totals has <= #buckets rows (tiny); partitionBy(lit(0)) is the same
-    # single group but keeps WindowExec from logging "No Partition
-    # Defined" on every run — at scale that spam buries real warnings
-    w_off = Window.partitionBy(F.lit(0)).orderBy("__pid__").rowsBetween(
+    # totals has <= #buckets rows (tiny), so a single-partition window is
+    # exactly the right plan here. WindowExec's "No Partition Defined"
+    # warning is silenced at the session level (session.py
+    # _silence_window_warning) — a partitionBy(lit(0)) decoy does NOT
+    # work, Catalyst constant-folds it away and warns anyway.
+    w_off = Window.orderBy("__pid__").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w_all = Window.partitionBy(F.lit(0)).orderBy("__pid__").rowsBetween(
+    w_all = Window.orderBy("__pid__").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = totals.select(

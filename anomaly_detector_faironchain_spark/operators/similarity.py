@@ -365,6 +365,8 @@ def kmeans_centroids(
         return []  # empty corpus: callers get no cells (semantic_dedup
         #            returns an empty result; ivf callers must check)
     k = len(centroids)  # corpus smaller than k: every row is a centroid
+    dim = len(centroids[0])  # infer from data — the `dim` param is only a
+    #                          default for the degenerate no-init path
     base = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(iters):
         c = np.asarray(centroids, dtype=np.float64)          # (k, d)
@@ -512,8 +514,11 @@ def semantic_dedup(
       3. within-cell candidate pairs — ids-only self-equi-join on the
          cell key (16-byte rows ride the shuffle, vectors never do),
          then ONE exact cosine re-score per candidate, ≥ threshold kept.
-         ``max_cell`` caps a degenerate cell's population (keep the
-         max_cell smallest ids) exactly like the LSH bucket cap.
+         ``max_cell`` is a candidate-RECALL cap, exactly like the LSH
+         bucket cap: only the max_cell smallest ids in a cell enter the
+         pair join; members beyond the cap BYPASS the similarity test
+         and are unconditionally kept (keep=True), so near-dups in a
+         capped-out tail silently survive — size max_cell accordingly.
       4. keep rule — within a cell, a document is dropped when a
          similar neighbor with a SMALLER id exists (keep = no pair in
          which it is id_b). Deterministic and engine-independent; the
@@ -578,11 +583,18 @@ def semantic_dedup(
         pairs.select(F.col("id_b").alias("id")).distinct()
         .withColumn("__dup__", F.lit(1))
     )
-    return (
+    result = (
         full_cells.select("id", F.col("cell").cast("int").alias("cell"))
         .join(dropped, "id", "left")
         .select("id", "cell", F.col("__dup__").isNull().alias("keep"))
     )
+    # The result is id-sized (3 narrow columns), so materialize it NOW
+    # (localCheckpoint) and release the persisted assignment frame —
+    # otherwise repeated calls in one application accumulate cached
+    # blocks for the app lifetime (round-3 advisor finding).
+    result = result.localCheckpoint(eager=True)
+    full_cells.unpersist()
+    return result
 
 
 def hard_negatives(

@@ -583,6 +583,16 @@ def char_ngram_model(
     )
 
 
+def _pack_ngram(g: str, n: int) -> int:
+    """Pack an n-gram's codepoints into one int: 21 bits per char,
+    big-endian. Exact (collision-free) for n <= 3 since unicode
+    codepoints are < 2^21 and 3·21 = 63 bits fit a uint64."""
+    v = 0
+    for ch in g:
+        v = (v << 21) | ord(ch)
+    return v
+
+
 def cross_entropy_score(
     df: DataFrame,
     id_col: str,
@@ -614,18 +624,77 @@ def cross_entropy_score(
     score distribution to threshold, not a hand predicate.
     """
     if method == "arrow":
+        import numpy as np
         import pandas as pd
         from pyspark.sql import types as T
 
         lut = {r["ngram"]: float(r["logp"])
                for r in model.select("ngram", "logp").collect()}
-        bc = df.sparkSession.sparkContext.broadcast(lut)
         fl = float(floor_logp)
         ln2 = math.log(2.0)
+        # Vectorized path (n <= 3): each n-gram's codepoints pack
+        # EXACTLY into one uint64 (unicode < 2^21, so 3·21 = 63 bits) —
+        # the model becomes a sorted key array + logp array, and scoring
+        # is a rolling shift-or over the batch's codepoints plus one
+        # np.searchsorted, no per-character Python. For n > 3 the pack
+        # would overflow, so the dict-get loop remains the fallback.
+        vec_ok = n <= 3
+        if vec_ok:
+            keys = np.fromiter(
+                (_pack_ngram(g, n) for g in lut), dtype=np.uint64, count=len(lut)
+            )
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            vals = np.fromiter(lut.values(), dtype=np.float64)[order]
+            bc = df.sparkSession.sparkContext.broadcast((keys, vals))
+        else:
+            bc = df.sparkSession.sparkContext.broadcast(lut)
 
-        def score(batches):
-            d = bc.value
-            g = d.get
+        def score_vec(batches):
+            skeys, svals = bc.value
+            for pdf in batches:
+                texts = [
+                    (i, t) for i, t in zip(pdf["__id__"], pdf["__t__"])
+                    if t is not None and len(t) >= n
+                ]
+                if not texts:
+                    continue
+                # one codepoint buffer for the whole Arrow batch;
+                # doc boundaries tracked by offsets so the rolling
+                # n-gram ids never straddle documents when summed
+                blob = "".join(t for _, t in texts)
+                cp = np.frombuffer(
+                    blob.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                lens = np.fromiter(
+                    (len(t) for _, t in texts), dtype=np.int64, count=len(texts)
+                )
+                offs = np.concatenate([[0], np.cumsum(lens)])
+                gram = np.zeros(len(cp) - n + 1, dtype=np.uint64)
+                for j in range(n):
+                    gram |= cp[j:len(cp) - n + 1 + j] << np.uint64(
+                        21 * (n - 1 - j)
+                    )
+                idx = np.searchsorted(skeys, gram)
+                idx_c = np.minimum(idx, len(skeys) - 1) if len(skeys) else idx
+                hit = (
+                    (skeys[idx_c] == gram) if len(skeys)
+                    else np.zeros(len(gram), dtype=bool)
+                )
+                lp = np.where(hit, svals[idx_c] if len(skeys) else fl, fl)
+                csum = np.concatenate([[0.0], np.cumsum(lp)])
+                m = lens - (n - 1)                    # grams per doc
+                starts = offs[:-1]
+                ssum = csum[starts + m] - csum[starts]
+                bits = np.round(-ssum / m / ln2, 4)
+                yield pd.DataFrame({
+                    "id": [i for i, _ in texts],
+                    "n_ngrams": m,
+                    "bits_per_ngram": bits,
+                })
+
+        def score_loop(batches):
+            g = bc.value.get
             for pdf in batches:
                 ids, cnts, bits = [], [], []
                 for i, t in zip(pdf["__id__"], pdf["__t__"]):
@@ -641,6 +710,8 @@ def cross_entropy_score(
                 yield pd.DataFrame(
                     {"id": ids, "n_ngrams": cnts, "bits_per_ngram": bits}
                 )
+
+        score = score_vec if vec_ok else score_loop
 
         out_schema = T.StructType([
             T.StructField("id", df.schema[id_col].dataType),

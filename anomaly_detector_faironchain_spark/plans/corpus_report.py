@@ -45,6 +45,10 @@ def corpus_profile(
         F.col(text_col), F.lit(text_ops.BPE_SPLIT_PATTERN), F.lit(0)
     )
     stats = text_ops.token_stat_cols(text_col)
+    # NULL langs/sources must survive the l1⋈l2⋈l3 equi-joins (null keys
+    # never match an inner join), so group on a sentinel instead.
+    lang_key = F.coalesce(F.col(lang_col), F.lit("und")).alias("lang")
+    source_key = F.coalesce(F.col(source_col), F.lit("unknown")).alias("source")
     # Scan discipline (measured, see BENCH/curation_ops_scale_audit_r3):
     # fusing ALL per-doc stat families into one projection knocks the
     # stage out of whole-stage codegen (the combined tree is ~15x
@@ -55,7 +59,7 @@ def corpus_profile(
     # (imperative agg, kept away from heavy inputs on purpose).
     # Each reduces to #langs rows map-side; the joins are negligible.
     l1 = docs.select(
-        F.col(lang_col).alias("lang"),
+        lang_key,
         stats["n_chars"].alias("n_chars"),
         stats["n_tokens"].alias("n_ws_tokens"),
         F.size(toks).cast("long").alias("n_bpe_tokens"),
@@ -66,7 +70,7 @@ def corpus_profile(
         F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
     )
     qs = text_ops.quality_score_col(text_col)
-    qdoc = docs.select(F.col(lang_col).alias("lang"), qs.alias("qscore"))
+    qdoc = docs.select(lang_key, qs.alias("qscore"))
     qdoc = qdoc.select(
         "lang", "qscore",
         F.least(
@@ -82,13 +86,13 @@ def corpus_profile(
         F.round(F.avg("qscore"), 4).alias("mean_quality"), *hist_cols
     )
     l3 = docs.select(
-        F.col(lang_col).alias("lang"), F.md5(F.col(text_col)).alias("digest")
+        lang_key, F.md5(F.col(text_col)).alias("digest")
     ).groupBy("lang").agg(
         F.approx_count_distinct("digest").alias("approx_distinct")
     )
     per_lang = l1.join(l2, "lang").join(l3, "lang")
     per_source = docs.select(
-        F.col(source_col).alias("source"),
+        source_key,
         F.size(toks).cast("long").alias("n_bpe_tokens"),
     ).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -155,7 +159,7 @@ def render_corpus_report(
     for r in top:
         lines.append(
             f"| {r.source} | {r.n_docs:,} | {r.n_bpe_tokens:,} "
-            f"| {100.0 * r.n_bpe_tokens / n_bpe:.2f}% |"
+            f"| {(100.0 * r.n_bpe_tokens / n_bpe) if n_bpe else 0.0:.2f}% |"
         )
     lines.append("")
     return "\n".join(lines)

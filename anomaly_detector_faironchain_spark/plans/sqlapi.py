@@ -70,9 +70,11 @@ def top_failing_partitions(verdicts: DataFrame, n: int = 100) -> DataFrame:
     # — a global row_number over millions of partition verdicts would
     # otherwise serialize on one reducer.
     top = agg.orderBy(*order).limit(n)
-    # <= n rows by construction; lit(0) partition silences the
-    # "No Partition Defined" WindowExec warning without changing the plan
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    # <= n rows by construction, so a single-partition ranking window is
+    # the intended plan; the WindowExec warning it would log is silenced
+    # session-wide in session.py (a lit(0) partition key does NOT silence
+    # it — Catalyst constant-folds the foldable key away).
+    w = Window.orderBy(*order)
     return (
         top.withColumn("ranking", F.row_number().over(w))
         .select("ranking", "table", "partition_id", "n_failed", "n_violations")

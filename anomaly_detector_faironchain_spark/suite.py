@@ -1899,6 +1899,34 @@ ORACLES.update({"suggested_constraints": ORACLE_SUGGESTED_CONSTRAINTS})
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # ===== round-4 rotation (VERDICT r3 item 1) =========================
+    # The driver attests the FIRST 50 registered pairs each round. r03
+    # attested the then-top-50; the 50 below are everything else — the 8
+    # round-3 session additions that have NEVER had driver evidence,
+    # followed by the 42 whose newest driver evidence is r1/r2. After
+    # r04, every registered pair will have been driver-attested at least
+    # once. (tools/check_oracles.py still covers all 100 locally every
+    # round; its output is committed as CORRECTNESS_local_r{N}.txt.)
+    # -- 8 never driver-attested ----------------------------------------
+    "quality_classifier", "semantic_dedup", "leakage_safe_split",
+    "bpe_token_count", "temperature_weights", "hard_negatives",
+    "ngram_perplexity", "normalize_text",
+    # -- 42 last attested in r1/r2 --------------------------------------
+    "embedding_validation", "validation_verdicts", "profile_stats",
+    "unique_duplicates", "fk_violations_broadcast", "fk_violations_salted",
+    "quantile_thresholds", "zscore", "robust_z", "hazen_percentile",
+    "psi_drift", "ks_drift", "rule_flags",
+    "topk_orders", "ranked_per_segment", "pricing_summary",
+    "connected_components", "pagerank", "edge_aggregation",
+    "dedup_exact", "passage_dedup", "contamination_check",
+    "repetition_stats", "pii_redaction", "line_filtering",
+    "fuzzy_key_match", "minhash_lsh_neardup", "neardup_clusters",
+    "ngram_jaccard", "simhash_hamming_hist", "simhash64_hamming",
+    "simhash_neardup", "knn_bruteforce", "ivf_ann_topk",
+    "random_projection", "bm25_relevance", "token_stats", "langid",
+    "fingerprints", "binary_metadata", "frame_sampling",
+    "curation_pipeline",
+    # ===== r03-attested (all green in CORRECTNESS_r03.json) =============
     # -- round-3 NEW constraints: never driver-checked -----------------------
     "schema_match",
     "profile_outlier", "distribution_outlier", "freshness",

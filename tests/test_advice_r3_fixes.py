@@ -1,0 +1,121 @@
+"""Regression tests for the round-3 advisor findings.
+
+1. corpus_profile: NULL-lang documents must not silently vanish from the
+   per_lang frame (null keys never match the l1⋈l2⋈l3 inner joins).
+2. render_corpus_report: an all-empty-text corpus (BPE token sum = 0)
+   must not raise ZeroDivisionError in the top-sources token-share loop.
+3. kmeans_centroids / semantic_dedup: embeddings whose dimension differs
+   from the 64-dim default must work with iters > 0 (the driver
+   accumulator used the DIM constant instead of inferring from data).
+4. semantic_dedup must release its persisted assignment frame once the
+   result is materialized (no cache accumulation across calls).
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomaly_detector_faironchain_spark.operators import similarity
+from anomaly_detector_faironchain_spark.plans.corpus_report import (
+    corpus_profile,
+    render_corpus_report,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_corpus_profile_counts_null_lang_docs(spark):
+    docs = _docs(spark, [
+        (1, "hello world one", "en", "web"),
+        (2, "bonjour le monde", "fr", "web"),
+        (3, "no language tag here", None, "books"),
+        (4, "another untagged doc", None, None),
+    ])
+    per_lang, per_source = corpus_profile(docs)
+    langs = {r.lang: r.n_docs for r in per_lang.collect()}
+    assert langs == {"en": 1, "fr": 1, "und": 2}
+    sources = {r.source: r.n_docs for r in per_source.collect()}
+    assert sources == {"web": 2, "books": 1, "unknown": 1}
+    # the report header totals include the untagged docs
+    md = render_corpus_report(docs)
+    assert "**4 documents" in md
+
+
+def test_corpus_report_all_empty_texts_no_zerodivision(spark):
+    docs = _docs(spark, [(1, "", "en", "web"), (2, "", "en", "web")])
+    md = render_corpus_report(docs)
+    assert "0.00%" in md  # token share renders as zero, not a crash
+
+
+def test_kmeans_and_semantic_dedup_non_default_dim(spark):
+    # 8-dim embeddings (DIM constant is 64): two tight clusters
+    rows = []
+    for i in range(20):
+        base = [1.0, 0, 0, 0, 0, 0, 0, 0] if i % 2 else [0, 0, 0, 0, 0, 0, 0, 1.0]
+        rows.append((i, [v + 0.001 * i for v in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", k=2, iters=3
+    )
+    assert len(cents) == 2 and all(len(c) == 8 for c in cents)
+    out = similarity.semantic_dedup(
+        emb, "vec_id", "embedding", k=2, iters=2, threshold=0.99
+    )
+    got = out.collect()
+    assert len(got) == 20
+    # each cluster keeps at least its smallest id, drops the near-copies
+    assert sum(1 for r in got if r.keep) < 20
+    assert {r.id for r in got if r.keep} >= {0, 1}
+
+
+def test_semantic_dedup_releases_cache(spark):
+    rows = [(i, [float(i % 3), 1.0, 0.0, 0.5]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = similarity.semantic_dedup(emb, "vec_id", "embedding", k=3)
+    out.count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # the operator's internal persist must not outlive the call
+    # (localCheckpoint RDDs are not registered as persistent RDDs)
+    assert after <= before
+
+
+def test_cross_entropy_vectorized_matches_dict_loop(spark):
+    """The n<=3 numpy pack+searchsorted path must reproduce the dict-get
+    loop's 4-dp scores exactly, including astral-plane codepoints (21-bit
+    pack) and unseen-ngram floors. n=4 exercises the loop fallback."""
+    from anomaly_detector_faironchain_spark.operators import text as text_ops
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),
+        (2, "naïve café résumé – ünïcödé tëxt " * 5),
+        (3, "数据质量检查与去重流水线" * 6),
+        (4, "emoji 😀😀 and astral 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𐍈 chars " * 4),
+        (5, "xy"),          # shorter than n: omitted
+        (6, None),           # null text: omitted
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = text_ops.char_ngram_model(
+        docs.filter("doc_id <= 2"), "text", n=3, top_k=500
+    )
+    vec = {(r.id, r.n_ngrams, r.bits_per_ngram)
+           for r in text_ops.cross_entropy_score(
+               docs, "doc_id", "text", model, n=3).collect()}
+    sql = {(r.id, r.n_ngrams, r.bits_per_ngram)
+           for r in text_ops.cross_entropy_score(
+               docs, "doc_id", "text", model, n=3, method="sql").collect()}
+    assert vec == sql and {i for i, _, _ in vec} == {1, 2, 3, 4}
+
+    # n=4: pack would overflow 64 bits, dict-loop fallback must engage
+    m4 = text_ops.char_ngram_model(docs.filter("doc_id <= 2"), "text", n=4,
+                                   top_k=500)
+    v4 = {(r.id, r.n_ngrams, r.bits_per_ngram)
+          for r in text_ops.cross_entropy_score(
+              docs, "doc_id", "text", m4, n=4).collect()}
+    s4 = {(r.id, r.n_ngrams, r.bits_per_ngram)
+          for r in text_ops.cross_entropy_score(
+              docs, "doc_id", "text", m4, n=4, method="sql").collect()}
+    assert v4 == s4
