@@ -151,15 +151,31 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+def _pyav():
+    """Optional real demuxer: PyAV if importable, else None (the sandbox
+    ships no video libraries — callers use the fake container format)."""
+    try:
+        import av  # noqa: PLC0415 — optional dependency
+
+        return av
+    except ImportError:
+        return None
+
+
 def sample_frames(
     payloads: DataFrame, frame_bytes: int = 32, stride: int = 2,
+    fake: bool = True,
 ) -> DataFrame:
-    """Frame sampling over opaque video-like containers (STUB container
-    format: the payload is treated as a sequence of fixed-size
-    ``frame_bytes`` frames, last partial frame kept — a real demuxer
-    (pyav/ffmpeg) would occupy exactly this mapInPandas slot). Emits
-    every ``stride``-th frame with its container index, byte length,
-    sha256, and the frame bytes themselves.
+    """Frame sampling over video containers.
+
+    fake=True (sandbox default — STUB container format): the payload is
+    treated as a sequence of fixed-size ``frame_bytes`` frames, last
+    partial frame kept. fake=False: REAL demux via PyAV when importable
+    — the payload is opened as a video container, every ``stride``-th
+    decoded video frame is emitted as raw rgb24 bytes — else
+    NotImplementedError. Both paths occupy the same mapInPandas slot,
+    so the plan shape is identical. Emits every ``stride``-th frame with
+    its index, byte length, sha256, and the frame bytes themselves.
 
     Spark shape this pins down: a map-only FLATMAP — one input row fans
     out to n_frames/stride output rows inside the same task, payloads
@@ -168,6 +184,39 @@ def sample_frames(
     container index (0, stride, 2·stride, …) so sampled frames stay
     addressable in the source video.
     """
+
+    def extract_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = _pyav()
+        if av is None:
+            raise NotImplementedError(
+                "video codecs unavailable in this environment; "
+                "use fake=True for the deterministic stub container format"
+            )
+        import io
+
+        for pdf in batches:
+            ids, idxs, lens, hashes, frames = [], [], [], [], []
+            for i, b in zip(pdf["id"], pdf["payload"]):
+                with av.open(io.BytesIO(bytes(b))) as container:
+                    for j, frame in enumerate(container.decode(video=0)):
+                        if j % stride:
+                            continue
+                        raw = frame.to_ndarray(format="rgb24").tobytes()
+                        ids.append(i)
+                        idxs.append(j)
+                        lens.append(len(raw))
+                        hashes.append(hashlib.sha256(raw).hexdigest())
+                        frames.append(raw)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "n_frame_bytes": pd.Series(lens, dtype="int64"),
+                "frame_sha256": pd.Series(hashes, dtype="object"),
+                "frame": pd.Series(frames, dtype="object"),
+            })
+
+    if not fake:
+        return payloads.mapInPandas(extract_real, FRAME_SCHEMA)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -203,21 +252,43 @@ THUMB_SCHEMA = T.StructType([
 
 def resize_images(
     payloads: DataFrame, max_bytes: int = 64, fake: bool = False,
+    max_px: int = 64,
 ) -> DataFrame:
-    """Image resize/thumbnail (STUB decode, real plumbing): the real
-    implementation decodes, resizes and re-encodes inside this same
-    mapInPandas shape; ``fake=True`` substitutes a deterministic
-    pseudo-resize (every k-th byte, k chosen so the thumb fits
-    ``max_bytes``) so schema, batching and the map-only no-shuffle
-    property are testable without codecs."""
+    """Image resize/thumbnail. ``fake=True``: deterministic pseudo-resize
+    (every k-th byte, k chosen so the thumb fits ``max_bytes``) so
+    schema, batching and the map-only no-shuffle property are testable
+    without codecs. ``fake=False``: REAL decode→thumbnail(≤``max_px``
+    on the long side)→PNG re-encode via PIL when importable, in the same
+    mapInPandas shape, else NotImplementedError."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if fake else _pil_image()
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable in this environment; "
-                    "use fake=True for the deterministic pseudo-resize"
-                )
+                if Image is None:
+                    raise NotImplementedError(
+                        "image codecs unavailable in this environment; "
+                        "use fake=True for the deterministic pseudo-resize"
+                    )
+                import io
+
+                def shrink_real(b):
+                    img = Image.open(io.BytesIO(bytes(b)))
+                    img.thumbnail((max_px, max_px))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    return buf.getvalue()
+
+                thumbs = pdf["payload"].map(shrink_real)
+                yield pd.DataFrame({
+                    "id": pdf["id"].astype("int64"),
+                    "thumb_bytes": thumbs.map(len).astype("int64"),
+                    "thumb_sha256": thumbs.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "thumb": thumbs,
+                })
+                continue
 
             def shrink(b):
                 b = bytes(b)

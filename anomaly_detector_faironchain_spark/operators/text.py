@@ -623,7 +623,7 @@ def cross_entropy_score(
     (reference rule_based_anomaly_detection.py's threshold flags) — a
     score distribution to threshold, not a hand predicate.
     """
-    if method == "arrow":
+    if method in ("arrow", "arrow_loop"):
         import numpy as np
         import pandas as pd
         from pyspark.sql import types as T
@@ -638,7 +638,8 @@ def cross_entropy_score(
         # is a rolling shift-or over the batch's codepoints plus one
         # np.searchsorted, no per-character Python. For n > 3 the pack
         # would overflow, so the dict-get loop remains the fallback.
-        vec_ok = n <= 3
+        vec_ok = n <= 3 and method == "arrow"  # "arrow_loop": force the
+        #                                         dict-get loop (A/B probe)
         if vec_ok:
             keys = np.fromiter(
                 (_pack_ngram(g, n) for g in lut), dtype=np.uint64, count=len(lut)

@@ -119,3 +119,62 @@ def test_cross_entropy_vectorized_matches_dict_loop(spark):
           for r in text_ops.cross_entropy_score(
               docs, "doc_id", "text", m4, n=4, method="sql").collect()}
     assert v4 == s4
+
+
+def test_real_video_frame_extraction_with_pyav(spark):
+    """Real demux path (sample_frames fake=False) — exercised only when
+    PyAV is importable; the sandbox default is the stub container format."""
+    import pytest
+
+    from anomaly_detector_faironchain_spark.operators import multimodal
+
+    av = multimodal._pyav()
+    if av is None:
+        df = spark.createDataFrame([(1, bytearray(b"xx"))],
+                                   "id long, payload binary")
+        with pytest.raises(Exception, match="(?i)codecs unavailable"):
+            multimodal.sample_frames(df, fake=False).collect()
+        return
+    # encode a tiny 4-frame synthetic video in-memory, then demux it
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 16, 16
+        for k in range(4):
+            arr = np.full((16, 16, 3), k * 60, dtype=np.uint8)
+            for packet in stream.encode(
+                av.VideoFrame.from_ndarray(arr, format="rgb24")
+            ):
+                out.mux(packet)
+        for packet in stream.encode():
+            out.mux(packet)
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "id long, payload binary")
+    rows = multimodal.sample_frames(df, stride=2, fake=False).collect()
+    assert [r.frame_idx for r in rows] == [0, 2]
+    assert all(r.n_frame_bytes == 16 * 16 * 3 for r in rows)
+
+
+def test_real_image_resize_with_pil(spark):
+    """Real resize path (resize_images fake=False) — PNG thumbnail no
+    larger than max_px; skipped without PIL."""
+    import pytest
+
+    from anomaly_detector_faironchain_spark.operators import multimodal
+
+    Image = multimodal._pil_image()
+    if Image is None:
+        pytest.skip("PIL not installed — stub path covered elsewhere")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (128, 64), color=(10, 20, 30)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "id long, payload binary")
+    row = multimodal.resize_images(df, fake=False, max_px=32).collect()[0]
+    thumb = Image.open(io.BytesIO(bytes(row.thumb)))
+    assert max(thumb.size) <= 32 and thumb.size == (32, 16)

@@ -1,0 +1,119 @@
+"""Measured A/B of asof_join's segment_width skew mitigation (VERDICT r3
+item 8 — the parity tests exist; this supplies the measured evidence on
+a fixture whose skew actually hurts).
+
+Fixture: 4M left events + 2M right quotes over 512 keys where ONE key
+("hot") owns half of each side — the shape where the unsegmented plan
+serializes a 3M-row sort+window in a single task. The segmented plan
+cuts the hot key's timeline into ~256 segments.
+
+Both plans must agree exactly (count + checksum over the matched values)
+— the A/B is invalid otherwise.
+
+Usage: python tools/asof_ab.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "BENCH/asof_skew_ab_r4.json"
+
+LEFT_ROWS = 4_000_000
+RIGHT_ROWS = 2_000_000
+KEYS = 512
+HORIZON = 1_000_000.0  # seconds of simulated time
+SEG_WIDTH = HORIZON / 256
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from anomaly_detector_faironchain_spark.operators.temporal import asof_join
+    from anomaly_detector_faironchain_spark.session import get_spark
+
+    spark = get_spark("asof-ab", cores=32,
+                      extra_conf={"spark.driver.memory": "32g"})
+
+    def skewed(n, tag):
+        # half the rows on key 'hot', the rest uniform over the cold keys;
+        # ts deterministic pseudo-random over [0, HORIZON)
+        return (
+            spark.range(n)
+            .select(
+                F.when(F.col("id") % 2 == 0, F.lit("hot"))
+                .otherwise(F.concat(F.lit("k"), (F.col("id") % KEYS)))
+                .alias("key"),
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(tag)), F.lit(10 ** 9))
+                 / 1e9 * HORIZON).alias("ts"),
+                F.col("id").alias(f"{tag}_id"),
+            )
+        )
+
+    left = skewed(LEFT_ROWS, "l")
+    # dedup right per (key, ts) — the documented determinism contract
+    right = (
+        skewed(RIGHT_ROWS, "r")
+        .groupBy("key", "ts").agg(F.max("r_id").alias("quote"))
+    )
+    ldir, rdir = "/tmp/asof_ab_left", "/tmp/asof_ab_right"
+    for d, df in ((ldir, left), (rdir, right)):
+        if not os.path.exists(d):
+            df.write.mode("overwrite").parquet(d)
+    left = spark.read.parquet(ldir)
+    right = spark.read.parquet(rdir)
+    left.count(), right.count()  # warm page cache
+
+    def run(width):
+        t0 = time.time()
+        out = asof_join(
+            left, right, on=["key"], left_ts="ts",
+            value_cols=["quote"], segment_width=width,
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("quote").alias("qsum"),
+            F.sum(F.col("ts_asof").cast("double")).alias("tsum"),
+            F.count("quote").alias("n_matched"),
+        ).collect()[0]
+        return time.time() - t0, (agg.n, agg.qsum, agg.n_matched,
+                                  round(float(agg.tsum or 0.0), 3))
+
+    report = {
+        "what": (f"asof_join A/B: {LEFT_ROWS // 10**6}M left x "
+                 f"{RIGHT_ROWS // 10**6}M right, {KEYS} keys, 50% of rows "
+                 "on ONE hot key; unsegmented vs segment_width="
+                 f"{SEG_WIDTH:.0f}s (~256 segments), local[32]"),
+        "canary_pre_mips": bench.cpu_canary(32),
+    }
+    run(None)  # warm
+    sec_plain = min(run(None)[0], run(None)[0])
+    _, chk_plain = run(None)
+    sec_seg = min(run(SEG_WIDTH)[0], run(SEG_WIDTH)[0])
+    _, chk_seg = run(SEG_WIDTH)
+    report.update({
+        "unsegmented_sec": round(sec_plain, 2),
+        "segmented_sec": round(sec_seg, 2),
+        "speedup": round(sec_plain / sec_seg, 2),
+        "results_identical": chk_plain == chk_seg,
+        "checksum": {"n": chk_plain[0], "qsum": chk_plain[1],
+                     "n_matched": chk_plain[2], "ts_sum": chk_plain[3]},
+        "canary_post_mips": bench.cpu_canary(32),
+    })
+    report["window_healthy"] = (
+        min(report["canary_pre_mips"], report["canary_post_mips"])
+        >= 0.75 * bench.CANARY_CEILING_MIPS
+    )
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
