@@ -81,8 +81,18 @@ def bench_source_files(spark, work_dir: str = "/tmp/bench_source_files") -> tupl
 
 
 # EP2 corpus: 2M abstract transfers over 20k accounts (degree ~100 —
-# motif/egonet joins dominate, which is the path being regression-guarded)
+# motif/egonet joins dominate, which is the path being regression-guarded).
+# Scaled-up benches hold DENSITY constant (accounts grow with rows,
+# degree stays ~100): wedge enumeration is Σ deg² work, so scaling edges
+# 10x at fixed accounts makes the motif stage ~100x — measured in the r4
+# scale audit, where 20M transfers over the 2M fixture's 20k accounts
+# (degree ~1000) filled >60 GB of wedge shuffle and died. A real corpus
+# grows its account space with its edge count; a denser graph is a
+# harder PROBLEM, not a bigger instance of the same one.
 TRANSFER_ROWS = int(os.environ.get("BENCH_TRANSFER_ROWS", "2000000"))
+TRANSFER_ACCOUNTS = int(os.environ.get(
+    "BENCH_TRANSFER_ACCOUNTS", str(max(20_000, TRANSFER_ROWS // 100))
+))
 
 
 def bench_analysis_pipeline(spark, work_dir: str = "/tmp/bench_transfers") -> float:
@@ -101,6 +111,8 @@ def bench_analysis_pipeline(spark, work_dir: str = "/tmp/bench_transfers") -> fl
     import shutil
 
     tag = f"{work_dir}/r{TRANSFER_ROWS}_v2"  # v2: shared account space
+    if TRANSFER_ACCOUNTS != 20_000:
+        tag = f"{work_dir}/r{TRANSFER_ROWS}_a{TRANSFER_ACCOUNTS}_v2"
     try:
         tt = spark.read.parquet(tag)
         if tt.count() != TRANSFER_ROWS:
@@ -109,7 +121,7 @@ def bench_analysis_pipeline(spark, work_dir: str = "/tmp/bench_transfers") -> fl
         shutil.rmtree(tag, ignore_errors=True)
         rt = rawgen.raw_native_transfers(
             spark, TRANSFER_ROWS, max(TRANSFER_ROWS // 50, 1),
-            n_accounts=20_000, shared_account_space=True,
+            n_accounts=TRANSFER_ACCOUNTS, shared_account_space=True,
         )
         abstract.build_abstract_token_transfer(
             abstract.clean_native_transfers(rt)
