@@ -116,12 +116,32 @@ def main() -> None:
     screen()  # warm
     sec_scr, rows_scr = timed(screen)
     n_exact = sum(1 for r in rows_scr if r.method == "exact")
-    report["ops"]["sampled_row_screen_1pct"] = {
+    report["ops"]["sampled_row_screen_1pct_tol0"] = {
         "sec": sec_scr,
         "speedup_vs_exact": round(sec_full / sec_scr, 2),
         "n_screen_rows": len(rows_scr),
         "n_escalated_exact": n_exact,
         "all_passed_on_clean_fixture": all(r.passed for r in rows_scr),
+        "note": ("tolerance=0 can NEVER be certified from a sample (the "
+                 "Wilson UCB of 0/n is > 0), so every partition escalates "
+                 "by design — the zero-tolerance screen is only the "
+                 "stacked-predicate replay, still ~3x the full suite"),
+    }
+
+    # the intended fast path: a nonzero violation-rate budget lets the
+    # sample certify clean partitions and skip the exact scan entirely
+    def screen_tol():
+        out = sampled_row_screen(df, spec, sample_key="file_sid",
+                                 fraction=0.01, tolerance=0.005)
+        return out.collect()
+
+    screen_tol()  # warm
+    sec_st, rows_st = timed(screen_tol)
+    report["ops"]["sampled_row_screen_1pct_tol0p5pct"] = {
+        "sec": sec_st,
+        "speedup_vs_exact": round(sec_full / sec_st, 2),
+        "n_escalated_exact": sum(1 for r in rows_st if r.method == "exact"),
+        "all_passed": all(r.passed for r in rows_st),
     }
 
     # -- suggest_constraints -------------------------------------------------
@@ -159,11 +179,13 @@ def main() -> None:
     half = df.limit(ROWS // 2)
     sec_a1, _ = timed(lambda: table.append(half))
     sec_v1, (wm1, _res1) = timed(
-        lambda: validate_new_snapshots(spark, table, spec, ckpt_dir)
+        lambda: validate_new_snapshots(spark, table, spec, ckpt_dir,
+                                       refs={"repos": repos})
     )
     sec_a2, _ = timed(lambda: table.append(half))
     sec_v2, (wm2, _res2) = timed(
-        lambda: validate_new_snapshots(spark, table, spec, ckpt_dir)
+        lambda: validate_new_snapshots(spark, table, spec, ckpt_dir,
+                                       refs={"repos": repos})
     )
     report["ops"]["snapshot_append_validate"] = {
         "append1_sec": sec_a1, "validate_inc1_sec": sec_v1,
@@ -188,12 +210,14 @@ def main() -> None:
     }
 
     # -- cross_entropy_score: vectorized vs dict loop (item 6 evidence) ------
+    # NB: limit() alone collapses to ONE task downstream (GlobalLimit);
+    # repartition so the A/B measures the operator, not a 1/32 core run
     sample = df.limit(200_000).select(
         "file_sid", df["content"].alias("text")
-    ).cache()
+    ).repartition(64).cache()
     sample.count()
     model = text_ops.char_ngram_model(
-        sample.limit(20_000), "text", n=3, top_k=50_000
+        sample.limit(20_000).repartition(32), "text", n=3, top_k=50_000
     )
     total_ngrams = sample.selectExpr(
         "sum(greatest(length(text) - 2, 0)) as n"
