@@ -76,14 +76,24 @@ def main() -> None:
             left, right, on=["key"], left_ts="ts",
             value_cols=["quote"], segment_width=width,
         )
+        # EXACT row-level checksum: hash each (key, ts, quote, ts_asof)
+        # row and sum mod p — integer arithmetic, immune to the
+        # summation-order ulps that a float sum over 4M doubles at 1e12
+        # magnitude accumulates (~0.4 absolute, which falsified the
+        # first version of this A/B)
+        h = F.pmod(
+            F.xxhash64(
+                "key", F.round(F.col("ts") * 1e6).cast("long"), "quote",
+                F.round(F.col("ts_asof") * 1e6).cast("long"),
+            ),
+            F.lit(1_000_000_007),
+        )
         agg = out.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("quote").alias("qsum"),
-            F.sum(F.col("ts_asof").cast("double")).alias("tsum"),
+            F.sum(h).alias("hsum"),
             F.count("quote").alias("n_matched"),
         ).collect()[0]
-        return time.time() - t0, (agg.n, agg.qsum, agg.n_matched,
-                                  round(float(agg.tsum or 0.0), 3))
+        return time.time() - t0, (agg.n, agg.hsum, agg.n_matched)
 
     report = {
         "what": (f"asof_join A/B: {LEFT_ROWS // 10**6}M left x "
@@ -102,8 +112,8 @@ def main() -> None:
         "segmented_sec": round(sec_seg, 2),
         "speedup": round(sec_plain / sec_seg, 2),
         "results_identical": chk_plain == chk_seg,
-        "checksum": {"n": chk_plain[0], "qsum": chk_plain[1],
-                     "n_matched": chk_plain[2], "ts_sum": chk_plain[3]},
+        "checksum": {"n": chk_plain[0], "row_hash_sum": chk_plain[1],
+                     "n_matched": chk_plain[2]},
         "canary_post_mips": bench.cpu_canary(32),
     })
     report["window_healthy"] = (
