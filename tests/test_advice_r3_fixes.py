@@ -178,3 +178,23 @@ def test_real_image_resize_with_pil(spark):
     row = multimodal.resize_images(df, fake=False, max_px=32).collect()[0]
     thumb = Image.open(io.BytesIO(bytes(row.thumb)))
     assert max(thumb.size) <= 32 and thumb.size == (32, 16)
+
+
+def test_driver_priority_rotation_covers_unattested_queries():
+    """Round-4 attestation plan: the driver checks the FIRST 50 registered
+    pairs. After the r4 rotation those must be exactly the 8 never-
+    driver-attested session queries plus the 42 whose newest driver
+    evidence is r1/r2 — i.e. NONE of the 50 already attested green in
+    CORRECTNESS_r03.json. Guards the rotation against accidental edits."""
+    import json
+
+    from anomaly_detector_faironchain_spark import suite
+
+    r03 = set(json.load(open("/root/repo/CORRECTNESS_r03.json")))
+    first50 = list(suite.QUERIES)[:50]
+    assert len(suite.QUERIES) >= 100
+    assert not (set(first50) & r03)
+    for q in ("quality_classifier", "semantic_dedup", "leakage_safe_split",
+              "bpe_token_count", "temperature_weights", "hard_negatives",
+              "ngram_perplexity", "normalize_text"):
+        assert q in first50[:8]
