@@ -85,7 +85,9 @@ def _pil_image():
         return None
 
 
-def decode_image_features(payloads: DataFrame, fake: bool = False) -> DataFrame:
+def decode_image_features(
+    payloads: DataFrame, fake: bool = False, on_error: str = "raise",
+) -> DataFrame:
     """Image decode + feature extraction.
 
     fake=True: deterministic pseudo-decode (dimensions/luma derived from
@@ -95,7 +97,16 @@ def decode_image_features(payloads: DataFrame, fake: bool = False) -> DataFrame:
     the 8-bit grayscale pixels), else NotImplementedError — decoding
     happens inside the same mapInPandas slot either way, so the plan
     shape is identical.
+
+    on_error (real path only): ``"raise"`` fails the task on the first
+    corrupt payload (Spark then retries/fails the job — the strict
+    default); ``"null"`` emits a marker row for the corrupt payload
+    (width/height = -1, mean_luma = null) and keeps decoding, so one bad
+    blob in a 10^12-row corpus costs one null row, not the job (r4
+    advisor). Filter ``width >= 0`` downstream for the clean subset.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Image = None if fake else _pil_image()
@@ -110,22 +121,30 @@ def decode_image_features(payloads: DataFrame, fake: bool = False) -> DataFrame:
 
                 ids, ws, hs, lumas = [], [], [], []
                 for i, b in zip(pdf["id"], pdf["payload"]):
-                    img = Image.open(io.BytesIO(bytes(b)))
-                    gray = img.convert("L")
-                    hist = gray.histogram()
-                    n_px = sum(hist)
+                    try:
+                        img = Image.open(io.BytesIO(bytes(b)))
+                        gray = img.convert("L")
+                        hist = gray.histogram()
+                        n_px = sum(hist)
+                        w, h = img.width, img.height
+                        luma = (
+                            sum(v * c for v, c in enumerate(hist)) / n_px
+                            if n_px else 0.0
+                        )
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        w, h, luma = -1, -1, None
                     ids.append(i)
-                    ws.append(img.width)
-                    hs.append(img.height)
-                    lumas.append(
-                        sum(v * c for v, c in enumerate(hist)) / n_px
-                        if n_px else 0.0
-                    )
+                    ws.append(w)
+                    hs.append(h)
+                    lumas.append(luma)
                 yield pd.DataFrame({
                     "id": pd.Series(ids, dtype="int64"),
                     "width": pd.Series(ws, dtype="int32"),
                     "height": pd.Series(hs, dtype="int32"),
-                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                    # nullable Float64: marker rows carry a true null
+                    "mean_luma": pd.Series(lumas, dtype="Float64"),
                 })
                 continue
             payload = pdf["payload"]
@@ -164,7 +183,7 @@ def _pyav():
 
 def sample_frames(
     payloads: DataFrame, frame_bytes: int = 32, stride: int = 2,
-    fake: bool = True,
+    fake: bool = True, on_error: str = "raise",
 ) -> DataFrame:
     """Frame sampling over video containers.
 
@@ -183,7 +202,14 @@ def sample_frames(
     per-frame rows instead of whole containers. frame_idx is the
     container index (0, stride, 2·stride, …) so sampled frames stay
     addressable in the source video.
+
+    on_error (real path only): ``"raise"`` fails the task on the first
+    corrupt container; ``"null"`` emits ONE marker row for it
+    (frame_idx = -1, null frame columns) and keeps demuxing the rest of
+    the batch (r4 advisor). Filter ``frame_idx >= 0`` downstream.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def extract_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         av = _pyav()
@@ -197,20 +223,30 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, lens, hashes, frames = [], [], [], [], []
             for i, b in zip(pdf["id"], pdf["payload"]):
-                with av.open(io.BytesIO(bytes(b))) as container:
-                    for j, frame in enumerate(container.decode(video=0)):
-                        if j % stride:
-                            continue
-                        raw = frame.to_ndarray(format="rgb24").tobytes()
-                        ids.append(i)
-                        idxs.append(j)
-                        lens.append(len(raw))
-                        hashes.append(hashlib.sha256(raw).hexdigest())
-                        frames.append(raw)
+                try:
+                    with av.open(io.BytesIO(bytes(b))) as container:
+                        for j, frame in enumerate(container.decode(video=0)):
+                            if j % stride:
+                                continue
+                            raw = frame.to_ndarray(format="rgb24").tobytes()
+                            ids.append(i)
+                            idxs.append(j)
+                            lens.append(len(raw))
+                            hashes.append(hashlib.sha256(raw).hexdigest())
+                            frames.append(raw)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    ids.append(i)
+                    idxs.append(-1)
+                    lens.append(None)
+                    hashes.append(None)
+                    frames.append(None)
             yield pd.DataFrame({
                 "id": pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int32"),
-                "n_frame_bytes": pd.Series(lens, dtype="int64"),
+                # nullable Int64: marker rows carry null frame columns
+                "n_frame_bytes": pd.Series(lens, dtype="Int64"),
                 "frame_sha256": pd.Series(hashes, dtype="object"),
                 "frame": pd.Series(frames, dtype="object"),
             })
@@ -252,14 +288,21 @@ THUMB_SCHEMA = T.StructType([
 
 def resize_images(
     payloads: DataFrame, max_bytes: int = 64, fake: bool = False,
-    max_px: int = 64,
+    max_px: int = 64, on_error: str = "raise",
 ) -> DataFrame:
     """Image resize/thumbnail. ``fake=True``: deterministic pseudo-resize
     (every k-th byte, k chosen so the thumb fits ``max_bytes``) so
     schema, batching and the map-only no-shuffle property are testable
     without codecs. ``fake=False``: REAL decode→thumbnail(≤``max_px``
     on the long side)→PNG re-encode via PIL when importable, in the same
-    mapInPandas shape, else NotImplementedError."""
+    mapInPandas shape, else NotImplementedError.
+
+    on_error (real path only): ``"raise"`` fails the task on the first
+    corrupt payload; ``"null"`` emits a marker row (thumb_bytes = -1,
+    null thumb/sha) and keeps going (r4 advisor). Filter
+    ``thumb_bytes >= 0`` downstream."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Image = None if fake else _pil_image()
@@ -273,18 +316,26 @@ def resize_images(
                 import io
 
                 def shrink_real(b):
-                    img = Image.open(io.BytesIO(bytes(b)))
-                    img.thumbnail((max_px, max_px))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    return buf.getvalue()
+                    try:
+                        img = Image.open(io.BytesIO(bytes(b)))
+                        img.thumbnail((max_px, max_px))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        return buf.getvalue()
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        return None
 
                 thumbs = pdf["payload"].map(shrink_real)
                 yield pd.DataFrame({
                     "id": pdf["id"].astype("int64"),
-                    "thumb_bytes": thumbs.map(len).astype("int64"),
+                    "thumb_bytes": thumbs.map(
+                        lambda b: len(b) if b is not None else -1
+                    ).astype("int64"),
                     "thumb_sha256": thumbs.map(
                         lambda b: hashlib.sha256(b).hexdigest()
+                        if b is not None else None
                     ),
                     "thumb": thumbs,
                 })

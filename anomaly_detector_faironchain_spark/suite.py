@@ -1899,19 +1899,51 @@ ORACLES.update({"suggested_constraints": ORACLE_SUGGESTED_CONSTRAINTS})
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ===== round-4 rotation (VERDICT r3 item 1) =========================
-    # The driver attests the FIRST 50 registered pairs each round. r03
-    # attested the then-top-50; the 50 below are everything else — the 8
-    # round-3 session additions that have NEVER had driver evidence,
-    # followed by the 42 whose newest driver evidence is r1/r2. After
-    # r04, every registered pair will have been driver-attested at least
-    # once. (tools/check_oracles.py still covers all 100 locally every
-    # round; its output is committed as CORRECTNESS_local_r{N}.txt.)
-    # -- 8 never driver-attested ----------------------------------------
+    # ===== round-5 rotation (VERDICT r4 item 5) =========================
+    # The driver attests the FIRST 50 registered pairs each round. r04
+    # attested the complement (CORRECTNESS_r04.json, 50/50 green); the 50
+    # below are exactly the r03-attested set, so after r05 every
+    # registered pair has TWO driver attestations across r03-r05 and the
+    # rotation settles into alternation: each future round swaps this
+    # block with the r04 block below. (tools/check_oracles.py still
+    # covers all 100 locally every round; output committed as
+    # CORRECTNESS_local_r{N}.txt.)
+    # -- r03-attested constraints ----------------------------------------
+    "schema_match",
+    "profile_outlier", "distribution_outlier", "freshness",
+    "cardinality_ratio",
+    "corr_validation",
+    "monotonic_violations", "count_reconciliation", "benford_mad",
+    "quantile_bounds",
+    "motif_fused",  # fused mutual+triangle+egonet kernel (EP2's default)
+    # -- EP2 core ---------------------------------------------------------
+    "mahalanobis", "triangles", "egonet", "final_scores",
+    "node_features", "self_loops", "mutual_pairs",
+    "wei_decode", "wei_to_eth",
+    "drift_by_group", "spearman", "whitelist_flag", "sessionization",
+    # -- temporal / training / diagnostics / sketches ---------------------
+    "asof_attribution", "interval_follow", "hll_uniqueness_screen",
+    "kll_length_quantiles", "tdigest_length_profile", "heavy_hitters",
+    "snapshot_incremental",
+    "key_skew",
+    "train_split", "corpus_mixture", "doc_chunks", "token_packing",
+    "top_terms", "stratified_sample",
+    # -- dedup/ANN/validation-ops -----------------------------------------
+    "bloom_dedup_screen",
+    "lsh_buckets", "lsh_ann_topk",
+    "embedding_cosine_neardup", "embedding_cosine_neardup_2t",
+    "char_entropy",
+    "fd_violations",
+    "dedup_keepers",
+    "domain_quota",
+    "quarantine_split",
+    "sampled_screen",
+    "suggested_constraints",
+    # ===== r04-attested (CORRECTNESS_r04.json 50/50 green; re-verified
+    #       locally every round by tools/check_oracles.py) ===============
     "quality_classifier", "semantic_dedup", "leakage_safe_split",
     "bpe_token_count", "temperature_weights", "hard_negatives",
     "ngram_perplexity", "normalize_text",
-    # -- 42 last attested in r1/r2 --------------------------------------
     "embedding_validation", "validation_verdicts", "profile_stats",
     "unique_duplicates", "fk_violations_broadcast", "fk_violations_salted",
     "quantile_thresholds", "zscore", "robust_z", "hazen_percentile",
@@ -1926,55 +1958,6 @@ _DRIVER_PRIORITY = [
     "random_projection", "bm25_relevance", "token_stats", "langid",
     "fingerprints", "binary_metadata", "frame_sampling",
     "curation_pipeline",
-    # ===== r03-attested (all green in CORRECTNESS_r03.json) =============
-    # -- round-3 NEW constraints: never driver-checked -----------------------
-    "schema_match",
-    "profile_outlier", "distribution_outlier", "freshness",
-    "cardinality_ratio",
-    "corr_validation",
-    "monotonic_violations", "count_reconciliation", "benford_mad",
-    "quantile_bounds",  # round-3 new: QuantileBounds distribution contract
-    "motif_fused",  # fused mutual+triangle+egonet kernel (EP2's new default)
-    # -- 13 green-in-r1 but dropped by the r2 cap --------------------------
-    "mahalanobis", "triangles", "egonet", "final_scores",
-    "node_features", "self_loops", "mutual_pairs",
-    "wei_decode", "wei_to_eth",
-    "drift_by_group", "spearman", "whitelist_flag", "sessionization",
-    # -- 10 never driver-checked (temporal / training / diagnostics) -------
-    "asof_attribution", "interval_follow", "hll_uniqueness_screen",
-    "kll_length_quantiles",  # round-3 new: mergeable KLL length profile
-    "tdigest_length_profile",  # round-3 new: mergeable t-digest profile
-    "heavy_hitters",  # round-3 new: mergeable Misra-Gries skew sketch
-    "snapshot_incremental",  # round-3 new: snapshot commit/time-travel/diff
-    "key_skew",
-    "train_split", "corpus_mixture", "doc_chunks", "token_packing",
-    "top_terms", "stratified_sample",
-    # -- round-3 code changes: re-prove against the oracle ------------------
-    "bloom_dedup_screen",          # executor-side tree-OR bitmap merge
-    "lsh_buckets", "lsh_ann_topk",  # Arrow matmul bucketing (new default)
-    "embedding_cosine_neardup", "embedding_cosine_neardup_2t",
-    "char_entropy",                # empty/NULL-text guard
-    "fd_violations",               # new FunctionalDependency constraint
-    "dedup_keepers",               # left-join + nulls-last retention
-    "domain_quota",                # two-phase top-k cap_per_group
-    "quarantine_split",            # round-3 new: row-level quarantine
-    "sampled_screen",              # round-3 new: sample-first screen + escalation
-    "suggested_constraints",       # round-3 new: profile -> proposed TableSpec
-    # -- round-3 session additions (positions 51-58: past the 50-entry
-    #    driver cap, which is fully claimed by VERDICT-mandated entries;
-    #    verified by pytest + tools/check_oracles.py (100/100) instead) ----
-    "quality_classifier", "semantic_dedup", "leakage_safe_split",
-    "bpe_token_count", "temperature_weights", "hard_negatives",
-    "ngram_perplexity", "normalize_text",
-    # -- north-rule validation core (keep inside the cap every round) ------
-    "embedding_validation", "validation_verdicts", "profile_stats",
-    "unique_duplicates", "fk_violations_broadcast", "fk_violations_salted",
-    "quantile_thresholds", "zscore", "robust_z", "hazen_percentile",
-    "psi_drift", "ks_drift", "rule_flags",
-    "topk_orders", "ranked_per_segment", "pricing_summary",
-    # -- iterative graph kernels (rows-only oracles are the weak checks;
-    #    keep them driver-visible) -----------------------------------------
-    "connected_components", "pagerank", "edge_aggregation",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Regression tests for the round-4 advisor findings.
+
+1. multimodal real decode paths take an on_error policy: "null" emits a
+   marker row per corrupt payload instead of failing the whole task.
+2. semantic_dedup's on_capped callback (covered in test_advice_r3_fixes
+   alongside the lazy-contract test).
+3. kmeans_centroids no longer advertises a dead `dim` parameter.
+"""
+from __future__ import annotations
+
+import inspect
+
+import pytest
+
+from anomaly_detector_faironchain_spark.operators import multimodal, similarity
+
+
+def test_on_error_policy_validated_eagerly(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
+    with pytest.raises(ValueError, match="on_error"):
+        multimodal.decode_image_features(df, fake=False, on_error="ignore")
+    with pytest.raises(ValueError, match="on_error"):
+        multimodal.sample_frames(df, fake=False, on_error="skip")
+    with pytest.raises(ValueError, match="on_error"):
+        multimodal.resize_images(df, fake=False, on_error="drop")
+
+
+def test_kmeans_centroids_has_no_dead_dim_param():
+    assert "dim" not in inspect.signature(similarity.kmeans_centroids).parameters
+
+
+def test_decode_image_on_error_null_emits_marker_row(spark):
+    """One corrupt payload among good ones must cost one marker row
+    (width/height=-1, null luma), not the task — skipped without PIL."""
+    Image = multimodal._pil_image()
+    if Image is None:
+        pytest.skip("PIL not installed — policy covered by validation test")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 4), color=(100, 100, 100)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image"))],
+        "id long, payload binary",
+    )
+    rows = {r.id: r for r in multimodal.decode_image_features(
+        df, fake=False, on_error="null").collect()}
+    assert rows[1].width == 8 and rows[1].height == 4
+    assert rows[2].width == -1 and rows[2].height == -1
+    assert rows[2].mean_luma is None
+    # strict default still fails the job on the corrupt payload
+    with pytest.raises(Exception):
+        multimodal.decode_image_features(df, fake=False).collect()
+
+
+def test_resize_on_error_null_emits_marker_row(spark):
+    Image = multimodal._pil_image()
+    if Image is None:
+        pytest.skip("PIL not installed — policy covered by validation test")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 64), color=(1, 2, 3)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"\x00garbage"))],
+        "id long, payload binary",
+    )
+    rows = {r.id: r for r in multimodal.resize_images(
+        df, fake=False, max_px=16, on_error="null").collect()}
+    assert rows[1].thumb_bytes > 0 and rows[1].thumb is not None
+    assert rows[2].thumb_bytes == -1
+    assert rows[2].thumb is None and rows[2].thumb_sha256 is None
+
+
+def test_sample_frames_on_error_null_emits_marker_row(spark):
+    av = multimodal._pyav()
+    if av is None:
+        pytest.skip("PyAV not installed — policy covered by validation test")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 16, 16
+        for k in range(2):
+            arr = np.full((16, 16, 3), k * 90, dtype=np.uint8)
+            for packet in stream.encode(
+                av.VideoFrame.from_ndarray(arr, format="rgb24")
+            ):
+                out.mux(packet)
+        for packet in stream.encode():
+            out.mux(packet)
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not a container"))],
+        "id long, payload binary",
+    )
+    rows = multimodal.sample_frames(
+        df, stride=1, fake=False, on_error="null").collect()
+    good = [r for r in rows if r.id == 1]
+    bad = [r for r in rows if r.id == 2]
+    assert len(good) == 2 and all(r.frame_idx >= 0 for r in good)
+    assert len(bad) == 1 and bad[0].frame_idx == -1
+    assert bad[0].n_frame_bytes is None and bad[0].frame is None
