@@ -161,6 +161,8 @@ def features_from_edges(
     fused: bool = True,
     vertex_dict: bool = True,
     broadcast_dict_max: int = 5_000_000,
+    wedge_budget: int | None = None,
+    on_guard=None,
 ) -> DataFrame:
     """Feature join over a (cached) aggregated edgelist.
 
@@ -214,20 +216,41 @@ def features_from_edges(
     nf = graph.node_features(edges)
     loops = graph.self_loop_flag(edges)
     if fused and not materialize_parts:
-        motifs = graph.fused_motif_features(edges).select(
-            "node",
+        motif_cols = [
             "two_node_loop_count", "two_node_loop_amount",
+            "two_node_loop_tx_count", "triangle_loop_count",
+            "triangle_loop_amount", "triangle_loop_tx_count",
+            "egonet_density",
+        ]
+        sel = [
+            "node",
+            F.col("two_node_loop_count"), F.col("two_node_loop_amount"),
             F.col("two_node_loop_tx").alias("two_node_loop_tx_count"),
             F.col("triangle_count").alias("triangle_loop_count"),
             F.col("triangle_amount").alias("triangle_loop_amount"),
             F.col("triangle_tx").alias("triangle_loop_tx_count"),
             F.col("ego_density").alias("egonet_density"),
-        )
+        ]
+        if wedge_budget is not None:
+            sel.append(F.col("motif_excluded"))
+        motifs = graph.fused_motif_features(
+            edges, wedge_budget=wedge_budget, on_guard=on_guard,
+        ).select(*sel)
         out = (
             nf.join(motifs, "node", "left")
             .join(loops, "node", "left")
             .na.fill(0)
         )
+        if wedge_budget is not None:
+            # na.fill(0) above zero-filled the guard's null rows; restore
+            # the reference's NA semantics for excluded hubs
+            # (extract_motif_features.py:83-94) — their motif features
+            # were NOT computed, and 0 would be a lie
+            for c in motif_cols + ["self_loop_count"]:
+                if c in out.columns:
+                    out = out.withColumn(
+                        c, F.when(F.col("motif_excluded") == 1,
+                                  F.lit(None)).otherwise(F.col(c)))
         if dic is not None:
             out = (
                 out.withColumnRenamed("node", "__nid__")
@@ -434,6 +457,9 @@ def score(
 _last_run_handles: dict = {}
 
 
+DEFAULT_WEDGE_BUDGET = 500_000_000  # ≈25-50 GB wedge shuffle at 50-100 B/row
+
+
 def run_anomaly_analysis(
     tt: DataFrame,
     infra_addresses: list[str] | None = None,
@@ -444,6 +470,8 @@ def run_anomaly_analysis(
     blocks: DataFrame | None = None,
     iforest_params: dict | None = None,
     materialize: bool = True,
+    wedge_budget: int | None = DEFAULT_WEDGE_BUDGET,
+    on_guard=None,
 ) -> DataFrame:
     """Full EP2 (reference run_anomaly_analysis_pipeline.py:22-104):
     [timestamp lineage] → edge filter → features → split infra →
@@ -459,6 +487,18 @@ def run_anomaly_analysis(
     * iforest: numpy iTree ensemble with the reference's parameters
       (n_estimators=300, max_samples=100k, seed=42); final score is the
       mean of 3 detectors (scoring.py:96-98).
+    * `wedge_budget` (default 5e8 rows): the dense-graph guard. Before
+      the motif stage, the wedge-shuffle volume is estimated exactly
+      from the degree distribution (graph.motif_wedge_guard); a graph
+      that would blow past the budget gets degree-orientation routing
+      and, if still over, automatic hub exclusion — the excluded hubs
+      are REPORTED (on_guard callback + WARNING log), carry null motif
+      features and a `motif_excluded=1` flag in the result, and are
+      routed around the scoring stats exactly like infra whitelist rows
+      (null scores, re-attached at the end) — the reference's manual
+      whitelist (extract_motif_features.py:32-44,83-94), automated.
+      Pass None to disable (pre-round-5 behavior, no motif_excluded
+      column, wedge shuffle unbounded).
     * Cache discipline: the edgelist and the per-account feature frame
       are cached (the feature frame feeds 3-4 separate driver actions —
       without the cache every action re-runs the triangle/egonet joins);
@@ -494,12 +534,21 @@ def run_anomaly_analysis(
     # guarantees every branch reads memory instead of racing to populate
     # (one extra job at the cost of the edge aggregation alone)
     edges.count()
-    feats = features_from_edges(edges)
+    feats = features_from_edges(edges, wedge_budget=wedge_budget,
+                                on_guard=on_guard)
     infra = [a.strip().lower() for a in (infra_addresses or [])]
     feats = feats.withColumn(
         "is_infra", F.col("address").isin(infra).cast("int")
     )
-    base = add_log_features(feats.filter(F.col("is_infra") == 0)).cache()
+    # guard-excluded hubs leave the scoring population with the infra
+    # rows: their motif features are null by construction, so letting
+    # them into the threshold/z/Mahalanobis stats would poison every
+    # aggregate; they re-attach below with null scores, as the
+    # reference's whitelist rows do
+    scored_pred = F.col("is_infra") == 0
+    if wedge_budget is not None:
+        scored_pred = scored_pred & (F.col("motif_excluded") == 0)
+    base = add_log_features(feats.filter(scored_pred)).cache()
 
     t, zstats = fused_threshold_and_z_stats(base)  # action 1 (fills cache)
     work = heuristic_rules(base, t)
@@ -539,7 +588,7 @@ def run_anomaly_analysis(
     drop = [c for c in work.columns
             if c.endswith("_log") or c.endswith("_z") or c.endswith("_ratio")]
     work = work.drop(*drop)
-    infra_rows = feats.filter(F.col("is_infra") == 1)
+    infra_rows = feats.filter(~scored_pred)
     out = work.unionByName(infra_rows, allowMissingColumns=True)
     _last_run_handles.clear()
     _last_run_handles.update(edges=edges, work=base, orphans=orphans)
