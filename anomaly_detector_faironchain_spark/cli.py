@@ -162,6 +162,12 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--lang-col", default="lang")
     cr.add_argument("--source-col", default="source")
     cr.add_argument("--top-sources", type=int, default=15)
+    cr.add_argument(
+        "--sample-fraction", type=float, default=None,
+        help="interactive mode: scan a deterministic fraction of docs "
+             "and scale counts back up (report carries error bars; "
+             "dup rate becomes a lower bound); omit for the exact report",
+    )
 
     s = sub.add_parser("serve", help="EP3: HTTP endpoints over results")
     s.add_argument("--data-root", required=True,
@@ -502,6 +508,7 @@ def _run_corpus_report(spark: SparkSession, args) -> int:
         docs, id_col=args.id_col, text_col=args.text_col,
         lang_col=args.lang_col, source_col=args.source_col,
         top_sources=args.top_sources,
+        sample_fraction=args.sample_fraction,
     )
     Path(args.out).write_text(md, encoding="utf-8")
     print(json.dumps({"status": "ok", "report": args.out,

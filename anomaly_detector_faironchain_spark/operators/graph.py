@@ -857,8 +857,8 @@ def motif_wedge_guard(
                 deg.groupBy("__deg__").agg(F.count(F.lit(1)).alias("n"))
                 .collect()]
         n_nodes = sum(c for _, c in hist)
-        k = max(16, n_nodes // 1024)
-        while True:
+
+        def try_k(k: int):
             tau, frac = _hub_threshold(hist, k)
             pred = (F.col("__deg__") > tau) | (
                 (F.col("__deg__") == tau)
@@ -876,9 +876,30 @@ def motif_wedge_guard(
             report["steps"].append(
                 {"orientation": "degree", "n_excluded_target": k,
                  "min_excluded_degree": tau, "wedge_rows": est})
+            return excl, est, tau
+
+        k = max(16, n_nodes // 1024)
+        while True:
+            excl, est, tau = try_k(k)
             if est <= wedge_budget or k >= n_nodes:
                 break
             k *= 2
+        # The doubling probe overshoots — wedge volume falls as roughly
+        # (kept fraction)^3, so the final doubling can throw away far
+        # more data than the budget requires (measured on the dense
+        # audit fixture: k=9728 was over budget, k=19456 left only 545
+        # of 20k nodes). Bisect between the last over-budget k and the
+        # fitting k for the SMALLEST exclusion that fits: each probe is
+        # one node-sized aggregation, and the loop is <= log2(k) probes.
+        lo_k, hi_k = k // 2, k
+        if lo_k >= 16 and hi_k < n_nodes * 2:
+            while hi_k - lo_k > max(16, hi_k // 64):
+                mid = (lo_k + hi_k) // 2
+                m_excl, m_est, m_tau = try_k(mid)
+                if m_est <= wedge_budget:
+                    hi_k, excl, est, tau = mid, m_excl, m_est, m_tau
+                else:
+                    lo_k = mid
         excl = excl.localCheckpoint(eager=True)
         n_excl = excl.count()
         report.update(orientation="degree", n_excluded=n_excl,

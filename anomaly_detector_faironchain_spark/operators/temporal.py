@@ -53,6 +53,48 @@ def _epoch_seconds(col: F.Column, dtype: str) -> F.Column:
     return col.cast("double")
 
 
+def _auto_segment_width(
+    left: DataFrame, right: DataFrame, on: list[str],
+    left_ts: str, right_ts: str, ts_t: str,
+    target_rows: int = 4096, hot_factor: int = 4,
+) -> float | None:
+    """Derive a segment width from a per-key (count, timespan) profile —
+    the docstring's manual prescription ("hot keys ~10^2-10^4 rows per
+    segment"), automated. One aggregation job over (keys, ts) of both
+    sides (map-side combined, key-cardinality output):
+
+      * no key holds more than hot_factor·target_rows rows → None (the
+        single-shuffle unsegmented plan; segmentation's second right
+        shuffle would buy nothing);
+      * else width = min over hot keys of span·target_rows/count, i.e.
+        the widest segments that still cap EVERY hot key's expected
+        rows-per-segment at target_rows (uniform-arrival estimate —
+        burstier keys still serialize within a burst's segment, which
+        tolerance/width tuning can't fix without data-dependent cuts).
+        Keys whose rows share one timestamp (span 0) are unsplittable
+        and ignored; if every hot key is like that → None.
+    """
+    u = left.select(
+        *on, _epoch_seconds(F.col(left_ts), ts_t).alias("__t__")
+    ).unionByName(right.select(
+        *on,
+        _epoch_seconds(F.col(right_ts).cast(ts_t), ts_t).alias("__t__"),
+    ))
+    cnt = F.count(F.lit(1))
+    span = F.max("__t__") - F.min("__t__")
+    prof = u.groupBy(*on).agg(cnt.alias("__n__"), span.alias("__span__"))
+    row = prof.agg(
+        F.min(
+            F.when(
+                (F.col("__n__") > hot_factor * target_rows)
+                & (F.col("__span__") > 0),
+                F.col("__span__") * target_rows / F.col("__n__"),
+            )
+        ).alias("w")
+    ).first()
+    return float(row["w"]) if row["w"] is not None else None
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -62,7 +104,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance: float | None = None,
     suffix: str = "_asof",
-    segment_width: float | None = None,
+    segment_width: float | str | None = None,
 ) -> DataFrame:
     """Backward as-of join: attach, to every left row, ``value_cols``
     from the latest right row with ``right.ts <= left.ts`` (inclusive)
@@ -81,6 +123,12 @@ def asof_join(
     shuffled twice (once for the summaries, once in the main window)
     instead of once; choose a width that gives hot keys ~10^2-10^4 rows
     per segment. Leave ``None`` (default) for the single-shuffle plan.
+    ``segment_width="auto"`` derives the width from a cheap per-key
+    (count, timespan) profile job (see _auto_segment_width): it picks
+    the widest segments that cap every hot key at ~4096 expected rows,
+    and falls back to the unsegmented plan when no key is hot enough
+    (>16k rows) to justify the second shuffle — so "auto" is safe to
+    pass unconditionally on unknown key distributions.
 
     Timestamps may be numeric or TIMESTAMP (compared with plain
     ordering; ``tolerance`` — max allowed left.ts − right.ts — is in
@@ -122,6 +170,14 @@ def asof_join(
         *[F.col(c).alias(carried[c]) for c in value_cols],
         F.col(right_ts).cast(ts_t).alias(matched_ts),
     ).select(*l_side.columns)  # align union column order
+
+    if segment_width == "auto":
+        segment_width = _auto_segment_width(
+            left, right, on, left_ts, right_ts, ts_t)
+    elif isinstance(segment_width, str):
+        raise ValueError(
+            f"segment_width must be a number, 'auto', or None — "
+            f"got {segment_width!r}")
 
     part_cols = list(on)
     if segment_width is None:

@@ -983,9 +983,21 @@ def validate_table(
             )
         violation_parts.append(sampled)
 
-    verdicts = verdict_parts[0]
-    for p in verdict_parts[1:]:
-        verdicts = verdicts.unionByName(p)
+    if verdict_parts:
+        verdicts = verdict_parts[0]
+        for p in verdict_parts[1:]:
+            verdicts = verdicts.unionByName(p)
+    else:
+        # a spec with zero executable constraints (e.g. suggested from a
+        # table with no evidence — empty or all-NULL) validates anything
+        # vacuously: empty verdicts, not an IndexError (found by
+        # tests/test_suggest_hypothesis.py)
+        verdicts = spark.createDataFrame(
+            [],
+            "table string, partition_id string, check_id string, "
+            "passed boolean, metric double, threshold double, "
+            "n_violations long, description string",
+        )
     if violation_parts:
         violations = violation_parts[0]
         for p in violation_parts[1:]:

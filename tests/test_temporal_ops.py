@@ -170,6 +170,73 @@ def test_asof_join_segmented_partitions_by_segment(spark):
                   value_cols=["v"], segment_width=0.0)
 
 
+def test_asof_join_auto_segment_width(spark):
+    """segment_width="auto" (VERDICT r4 item 8): result-identical to the
+    unsegmented plan, and the width derivation follows the documented
+    policy — None below the hot threshold, span·target/count above it."""
+    from anomaly_detector_faironchain_spark.operators.temporal import (
+        _auto_segment_width,
+    )
+
+    left, right = _asof_frames(spark)
+    base = {
+        (r["id"], r["v"], r["ts_asof"])
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    auto = {
+        (r["id"], r["v"], r["ts_asof"])
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", value_cols=["v"],
+            segment_width="auto",
+        ).collect()
+    }
+    assert auto == base
+    # tiny keys: auto must decline to segment
+    assert _auto_segment_width(
+        left, right, ["key"], "ts", "ts", "double") is None
+    # one hot key (600 rows > 4*100) over span 10000 -> width 10000*100/600
+    hot_l = spark.range(600).select(
+        F.lit("hot").alias("key"),
+        (F.col("id") * (10000.0 / 599)).alias("ts"),
+    )
+    hot_r = spark.createDataFrame(
+        [("hot", 0.0, 1.0)], "key string, ts double, v double")
+    w = _auto_segment_width(
+        hot_l, hot_r, ["key"], "ts", "ts", "double",
+        target_rows=100, hot_factor=4)
+    assert w is not None and abs(w - 10000.0 * 100 / 601) < 1.0
+    # a key whose rows share one timestamp is unsplittable -> None
+    flat = spark.range(600).select(
+        F.lit("flat").alias("key"), F.lit(5.0).alias("ts"))
+    assert _auto_segment_width(
+        flat, hot_r, ["key"], "ts", "ts", "double",
+        target_rows=100, hot_factor=4) is None
+    # auto parity on a randomized skewed fixture with a genuinely hot key
+    import random
+
+    rng = random.Random(11)
+    lrows = [(i, "hot" if i % 2 else "k%d" % rng.randrange(5),
+              float(rng.randrange(2000)))
+             for i in range(900)]
+    rrows = sorted({("hot" if rng.random() < 0.5
+                     else "k%d" % rng.randrange(5),
+                     float(rng.randrange(2000))) for _ in range(400)})
+    bl = spark.createDataFrame(lrows, "id long, key string, ts double")
+    br = spark.createDataFrame([(k, t, t + 0.5) for k, t in rrows],
+                               "key string, ts double, v double")
+    plain = {(r["id"], r["v"], r["ts_asof"]) for r in asof_join(
+        bl, br, on=["key"], left_ts="ts", value_cols=["v"]).collect()}
+    seg = {(r["id"], r["v"], r["ts_asof"]) for r in asof_join(
+        bl, br, on=["key"], left_ts="ts", value_cols=["v"],
+        segment_width="auto").collect()}
+    assert seg == plain
+    with pytest.raises(ValueError, match="auto"):
+        asof_join(left, right, on=["key"], left_ts="ts",
+                  value_cols=["v"], segment_width="AUTO-ish")
+
+
 def test_interval_join_matches_naive_pairs(spark):
     ev = spark.createDataFrame(
         [

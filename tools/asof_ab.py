@@ -102,16 +102,27 @@ def main() -> None:
                  f"{SEG_WIDTH:.0f}s (~256 segments), local[32]"),
         "canary_pre_mips": bench.cpu_canary(32),
     }
+    from anomaly_detector_faironchain_spark.operators.temporal import (
+        _auto_segment_width,
+    )
+
     run(None)  # warm
     sec_plain = min(run(None)[0], run(None)[0])
     _, chk_plain = run(None)
     sec_seg = min(run(SEG_WIDTH)[0], run(SEG_WIDTH)[0])
     _, chk_seg = run(SEG_WIDTH)
+    # round-5 (VERDICT r4 item 8): the auto-derived width, no hand tuning
+    auto_w = _auto_segment_width(left, right, ["key"], "ts", "ts", "double")
+    sec_auto = min(run("auto")[0], run("auto")[0])
+    _, chk_auto = run("auto")
     report.update({
         "unsegmented_sec": round(sec_plain, 2),
         "segmented_sec": round(sec_seg, 2),
         "speedup": round(sec_plain / sec_seg, 2),
-        "results_identical": chk_plain == chk_seg,
+        "auto_width_sec": round(sec_auto, 2),
+        "auto_width_seconds": round(auto_w, 2) if auto_w else auto_w,
+        "auto_speedup": round(sec_plain / sec_auto, 2),
+        "results_identical": chk_plain == chk_seg == chk_auto,
         "checksum": {"n": chk_plain[0], "row_hash_sum": chk_plain[1],
                      "n_matched": chk_plain[2]},
         "canary_post_mips": bench.cpu_canary(32),
