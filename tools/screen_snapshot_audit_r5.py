@@ -1,0 +1,210 @@
+"""Round-5 64M-row audit of the sampled screen + snapshot increments
+(VERDICT r4 item 3).
+
+The r4 audit proved these at 2M rows; the screen's value claim is
+"certify from a sample AT SCALE" — here it runs where the exact
+validate costs minutes (the 64M heavy corpus, ~330 GB of text logical /
+~25 GB parquet, the same fixture as BENCH/scale_sf1_r4.json's
+suite_64M rung):
+
+  1. exact full validate (the bar);
+  2. sampled_row_screen at 1% / tolerance=0.5% — the certify-clean fast
+     path (done-criterion: >=3x measured speedup);
+  3. escalation correctness: violations injected into k known partitions
+     (0.7% of rows get lang='zz' — sits INSIDE the Wilson undecided band
+     around the 0.5% tolerance, so the screen must escalate rather than
+     certify) — assert the failing partition set is EXACTLY the injected
+     set, zero false alarms, and record how many were escalated-exact vs
+     certified-fail;
+  4. snapshot layer at table scale: append the 64M base, validate, then
+     an 8M increment — the second validate must scan only the increment
+     (time proportional to 8M, not 72M).
+
+Usage: python tools/screen_snapshot_audit_r5.py [out.json]
+Run alone (no concurrent Spark). Needs ~55 GB free under /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # cpu canary
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "BENCH/screen_snapshot_64M_r5.json"
+FIXTURE = "/tmp/bench_source_files/r64000000_l6_15"
+ROWS = 64_000_000
+N_INJECT = 3
+INJECT_PER_MILLE = 7  # 0.7% — inside the Wilson band around tol=0.5%
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from anomaly_detector_faironchain_spark.datagen import source_files as gen
+    from anomaly_detector_faironchain_spark.operators.sampled import (
+        sampled_row_screen,
+    )
+    from anomaly_detector_faironchain_spark.plans.compiler import validate_table
+    from anomaly_detector_faironchain_spark.plans.snapshots import (
+        SnapshotTable,
+        validate_new_snapshots,
+    )
+    from anomaly_detector_faironchain_spark.session import get_spark
+    from anomaly_detector_faironchain_spark.specs import north_rule_spec
+
+    report: dict = {
+        "what": (f"sampled screen + snapshot increments at {ROWS // 10**6}M "
+                 "heavy rows (log-uniform 64..16k-char bodies), local[32]"),
+        "canary_pre_mips": bench.cpu_canary(32),
+        "ops": {},
+    }
+    spark = get_spark("screen-snap-audit", cores=32,
+                      extra_conf={"spark.driver.memory": "52g",
+                                  "spark.sql.files.maxPartitionBytes":
+                                      "33554432"})
+
+    try:
+        df = spark.read.parquet(f"{FIXTURE}/input")
+        repos = spark.read.parquet(f"{FIXTURE}/repos")
+        assert df.count() == ROWS
+    except Exception:  # noqa: BLE001
+        shutil.rmtree(FIXTURE, ignore_errors=True)
+        files = gen.generate_source_files(spark, ROWS, seed=42,
+                                          len_exp_lo=6, len_exp_hi=15)
+        man = gen.manifest(files)
+        repos_df, _ = gen.companion_dims(files)
+        files.join(man, "file_sid").repartition(512) \
+             .write.parquet(f"{FIXTURE}/input")
+        repos_df.write.parquet(f"{FIXTURE}/repos")
+        df = spark.read.parquet(f"{FIXTURE}/input")
+        repos = spark.read.parquet(f"{FIXTURE}/repos")
+    spec = north_rule_spec()
+
+    def timed(fn):
+        t0 = time.time()
+        out = fn()
+        return round(time.time() - t0, 2), out
+
+    # -- 1. exact full validate (the bar) -----------------------------------
+    def full():
+        res = validate_table(df, spec, refs={"repos": repos},
+                             materialize_violations=True)
+        res.materialize()
+        n = res.verdicts.count()
+        res.unpersist()
+        return n
+
+    sec_warm, _ = timed(full)  # JIT + page-cache warm
+    sec_full, n_verd = timed(full)
+    report["ops"]["validate_exact_full"] = {
+        "warm_sec": sec_warm, "sec": sec_full,
+        "files_per_sec": round(ROWS / sec_full, 1), "n_verdicts": n_verd,
+    }
+
+    # -- 2. screen at tol=0.5% (the certify-clean fast path) -----------------
+    def screen_tol():
+        return sampled_row_screen(df, spec, sample_key="file_sid",
+                                  fraction=0.01, tolerance=0.005).collect()
+
+    sec_st, rows_st = timed(screen_tol)
+    report["ops"]["sampled_screen_1pct_tol0p5"] = {
+        "sec": sec_st,
+        "speedup_vs_exact": round(sec_full / sec_st, 2),
+        "n_screen_rows": len(rows_st),
+        "n_escalated_exact": sum(1 for r in rows_st if r.method == "exact"),
+        "all_passed_on_clean_fixture": all(r.passed for r in rows_st),
+        "meets_3x_target": sec_full / sec_st >= 3.0,
+    }
+
+    # -- 3. escalation correctness: inject 0.7% lang violations into
+    #       N_INJECT known buckets via a computed view (no rewrite) ---------
+    buckets = [r.bucket for r in
+               df.select("bucket").distinct().orderBy("bucket")
+               .limit(N_INJECT).collect()]
+    corrupt = df.withColumn(
+        "lang",
+        F.when(
+            F.col("bucket").isin(buckets)
+            & (F.pmod(F.xxhash64("file_sid", F.lit("inject")), F.lit(1000))
+               < INJECT_PER_MILLE),
+            F.lit("zz"),
+        ).otherwise(F.col("lang")),
+    )
+    sec_inj, rows_inj = timed(lambda: sampled_row_screen(
+        corrupt, spec, sample_key="file_sid",
+        fraction=0.01, tolerance=0.005).collect())
+    inset = [r for r in rows_inj if r.check_id.startswith("in_set")]
+    failed = {str(r.partition_id) for r in inset if not r.passed}
+    escalated = {str(r.partition_id) for r in inset if r.method == "exact"}
+    other_checks_failed = sorted(
+        (str(r.partition_id), r.check_id) for r in rows_inj
+        if not r.passed and not r.check_id.startswith("in_set"))
+    injected = {str(b) for b in buckets}
+    report["ops"]["escalation_correctness"] = {
+        "sec": sec_inj,
+        "injected_partitions": sorted(injected),
+        "failed_partitions": sorted(failed),
+        "escalated_partitions": sorted(escalated),
+        "failed_equals_injected": failed == injected,
+        "escalations_confined_to_injected": escalated <= injected,
+        "no_collateral_check_failures": other_checks_failed == [],
+    }
+    # asserts run AFTER the JSON is written (end of main) so the
+    # evidence survives a failed expectation
+    checks = [
+        ("failed == injected", failed == injected, (failed, injected)),
+        # per-bucket sample at 64M is ~4000 rows: UCB(0/4000) ≈ 0.17% <
+        # tol, so clean buckets certify and escalation stays confined
+        # (at 2M the 660-row samples CANNOT certify 0.5% — measured in
+        # the pre-run smoke — which is exactly why this audit is at 64M)
+        ("escalated <= injected", escalated <= injected,
+         (escalated, injected)),
+        ("no collateral failures", other_checks_failed == [],
+         other_checks_failed),
+    ]
+
+    # -- 4. snapshot layer at table scale ------------------------------------
+    snap_dir = "/tmp/audit_snap_r5"
+    ckpt_dir = "/tmp/audit_snap_r5_ckpt"
+    shutil.rmtree(snap_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    table = SnapshotTable.create(snap_dir)
+    sec_a1, _ = timed(lambda: table.append(df))
+    sec_v1, (wm1, _r1) = timed(
+        lambda: validate_new_snapshots(spark, table, spec, ckpt_dir,
+                                       refs={"repos": repos}))
+    inc = df.limit(ROWS // 8)
+    sec_a2, _ = timed(lambda: table.append(inc))
+    sec_v2, (wm2, _r2) = timed(
+        lambda: validate_new_snapshots(spark, table, spec, ckpt_dir,
+                                       refs={"repos": repos}))
+    report["ops"]["snapshot_append_validate_64M_base_8M_inc"] = {
+        "append_base_sec": sec_a1, "validate_base_sec": sec_v1,
+        "append_inc_sec": sec_a2, "validate_inc_sec": sec_v2,
+        "base_rows": ROWS, "inc_rows": ROWS // 8,
+        "watermarks": [wm1, wm2],
+        "inc_validation_proportional_to_increment":
+            sec_v2 < 0.35 * sec_v1,
+    }
+    shutil.rmtree(snap_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    report["canary_post_mips"] = bench.cpu_canary(32)
+    report["window_healthy"] = (
+        min(report["canary_pre_mips"], report["canary_post_mips"])
+        >= 0.75 * bench.CANARY_CEILING_MIPS
+    )
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    for name, ok, detail in checks:
+        assert ok, (name, detail)
+
+
+if __name__ == "__main__":
+    main()
