@@ -547,8 +547,58 @@ SELECT id, CAST(ROUND(pr, 8) AS DOUBLE) AS pagerank FROM pr{k}
 """
 
 
+def q_wedge_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 dense-graph guard (graph.estimate_wedges): the EXACT
+    wedge-intermediate row count the motif kernels would shuffle, under
+    both orientations, computed without materializing a single wedge —
+    the number the wedge_budget guard escalates on. Oracle-replicable:
+    Σ_pivot C(d₊,2) over the distinct undirected pair graph, with the
+    degree orientation's (degree, id) lexicographic pivot spelled out
+    in portable SQL."""
+    e = _syn_edges(spark, sf_dir)
+    rows = [("degree", graph.estimate_wedges(e, "degree")),
+            ("id", graph.estimate_wedges(e, "id"))]
+    return spark.createDataFrame(
+        rows, "orientation string, wedge_rows long")
+
+
+ORACLE_WEDGE_ESTIMATE = f"""
+WITH {_SYN_EDGES_SQL.strip()},
+e AS (SELECT * FROM edges WHERE src <> dst),
+pairs AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM e
+),
+deg AS (
+  SELECT v, COUNT(*) AS n FROM (
+    SELECT lo AS v FROM pairs UNION ALL SELECT hi FROM pairs
+  ) GROUP BY v
+),
+rk AS (
+  SELECT p.lo, p.hi, dl.n AS dlo, dh.n AS dhi
+  FROM pairs p JOIN deg dl ON dl.v = p.lo JOIN deg dh ON dh.v = p.hi
+),
+piv_deg AS (
+  SELECT CASE WHEN dlo < dhi OR (dlo = dhi AND lo < hi) THEN lo ELSE hi
+         END AS p
+  FROM rk
+),
+w_id AS (
+  SELECT COALESCE(CAST(SUM(n * (n - 1) / 2) AS BIGINT), 0) AS w
+  FROM (SELECT lo AS p, COUNT(*) AS n FROM pairs GROUP BY 1)
+),
+w_deg AS (
+  SELECT COALESCE(CAST(SUM(n * (n - 1) / 2) AS BIGINT), 0) AS w
+  FROM (SELECT p, COUNT(*) AS n FROM piv_deg GROUP BY 1)
+)
+SELECT 'degree' AS orientation, w AS wedge_rows FROM w_deg
+UNION ALL
+SELECT 'id' AS orientation, w AS wedge_rows FROM w_id
+"""
+
+
 QUERIES = {
     "edge_aggregation": q_edge_aggregation,
+    "wedge_estimate": q_wedge_estimate,
     "connected_components": q_connected_components,
     "pagerank": q_pagerank,
     "node_features": q_node_features,
@@ -563,6 +613,7 @@ QUERIES = {
 
 ORACLES = {
     "edge_aggregation": ORACLE_EDGE_AGGREGATION,
+    "wedge_estimate": ORACLE_WEDGE_ESTIMATE,
     "connected_components": ORACLE_CONNECTED_COMPONENTS,
     "pagerank": _pagerank_oracle(),
     "node_features": ORACLE_NODE_FEATURES,
