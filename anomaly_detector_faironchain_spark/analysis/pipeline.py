@@ -188,6 +188,12 @@ def features_from_edges(
     per-node outputs are pytest-identical. The dominant motif stage is
     halved; interleaved A/B in tools/fused_ab.py.
 
+    wedge_budget (fused path only): the dense-graph guard — see
+    graph.fused_motif_features. When set, the output carries a
+    motif_excluded int column and excluded hubs get null motif features;
+    the standalone-extractor path (fused=False) ignores it — apply the
+    reference's manual whitelist there instead.
+
     fused=False keeps the 4 standalone extractors (the A/B control and
     the step-debugging form). materialize_parts=True additionally
     localCheckpoints each extractor output (a tiny per-node table) as its

@@ -90,6 +90,10 @@ def main() -> None:
         out = fn()
         return round(time.time() - t0, 2), out
 
+    def flush():  # crash-safe: partial evidence survives a dead phase
+        with open(OUT, "w") as f:
+            json.dump(report, f, indent=2)
+
     # -- 1. exact full validate (the bar) -----------------------------------
     def full():
         res = validate_table(df, spec, refs={"repos": repos},
@@ -105,6 +109,7 @@ def main() -> None:
         "warm_sec": sec_warm, "sec": sec_full,
         "files_per_sec": round(ROWS / sec_full, 1), "n_verdicts": n_verd,
     }
+    flush()
 
     # -- 2. screen at tol=0.5% (the certify-clean fast path) -----------------
     def screen_tol():
@@ -120,6 +125,7 @@ def main() -> None:
         "all_passed_on_clean_fixture": all(r.passed for r in rows_st),
         "meets_3x_target": sec_full / sec_st >= 3.0,
     }
+    flush()
 
     # -- 3. escalation correctness: inject 0.7% lang violations into
     #       N_INJECT known buckets via a computed view (no rewrite) ---------
@@ -154,6 +160,7 @@ def main() -> None:
         "escalations_confined_to_injected": escalated <= injected,
         "no_collateral_check_failures": other_checks_failed == [],
     }
+    flush()
     # asserts run AFTER the JSON is written (end of main) so the
     # evidence survives a failed expectation
     checks = [
@@ -174,7 +181,8 @@ def main() -> None:
     shutil.rmtree(snap_dir, ignore_errors=True)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     table = SnapshotTable.create(snap_dir)
-    sec_a1, _ = timed(lambda: table.append(df))
+    base = df.limit(ROWS // 2)
+    sec_a1, _ = timed(lambda: table.append(base))
     sec_v1, (wm1, _r1) = timed(
         lambda: validate_new_snapshots(spark, table, spec, ckpt_dir,
                                        refs={"repos": repos}))
@@ -183,10 +191,14 @@ def main() -> None:
     sec_v2, (wm2, _r2) = timed(
         lambda: validate_new_snapshots(spark, table, spec, ckpt_dir,
                                        refs={"repos": repos}))
-    report["ops"]["snapshot_append_validate_64M_base_8M_inc"] = {
+    report["ops"]["snapshot_append_validate_32M_base_8M_inc"] = {
         "append_base_sec": sec_a1, "validate_base_sec": sec_v1,
         "append_inc_sec": sec_a2, "validate_inc_sec": sec_v2,
-        "base_rows": ROWS, "inc_rows": ROWS // 8,
+        "base_rows": ROWS // 2, "inc_rows": ROWS // 8,
+        "note": ("base capped at 32M rows (~12.5 GB parquet copy) so the "
+                 "sandbox disk holds fixture+snapshot+shuffle; the claim "
+                 "under test — increment validation cost proportional to "
+                 "the 8M increment, not the table — is unchanged"),
         "watermarks": [wm1, wm2],
         "inc_validation_proportional_to_increment":
             sec_v2 < 0.35 * sec_v1,
