@@ -56,7 +56,7 @@ def _epoch_seconds(col: F.Column, dtype: str) -> F.Column:
 def _auto_segment_width(
     left: DataFrame, right: DataFrame, on: list[str],
     left_ts: str, right_ts: str, ts_t: str,
-    target_rows: int = 4096, hot_factor: int = 4,
+    target_rows: int = 12288, hot_factor: int = 4,
 ) -> float | None:
     """Derive a segment width from a per-key (count, timespan) profile —
     the docstring's manual prescription ("hot keys ~10^2-10^4 rows per
@@ -68,7 +68,9 @@ def _auto_segment_width(
         shuffle would buy nothing);
       * else width = min over hot keys of span·target_rows/count, i.e.
         the widest segments that still cap EVERY hot key's expected
-        rows-per-segment at target_rows (uniform-arrival estimate —
+        rows-per-segment at target_rows (measured sweet spot ~12k on
+        the 50%-hot-key A/B fixture, tools/asof_ab.py; uniform-arrival
+        estimate —
         burstier keys still serialize within a burst's segment, which
         tolerance/width tuning can't fix without data-dependent cuts).
         Keys whose rows share one timestamp (span 0) are unsplittable
@@ -125,10 +127,11 @@ def asof_join(
     per segment. Leave ``None`` (default) for the single-shuffle plan.
     ``segment_width="auto"`` derives the width from a cheap per-key
     (count, timespan) profile job (see _auto_segment_width): it picks
-    the widest segments that cap every hot key at ~4096 expected rows,
-    and falls back to the unsegmented plan when no key is hot enough
-    (>16k rows) to justify the second shuffle — so "auto" is safe to
-    pass unconditionally on unknown key distributions.
+    the widest segments that cap every hot key at ~12k expected rows
+    (the A/B-measured sweet spot), and falls back to the unsegmented
+    plan when no key is hot enough (>32k rows) to justify the second
+    shuffle — so "auto" is safe to pass unconditionally on unknown key
+    distributions.
 
     Timestamps may be numeric or TIMESTAMP (compared with plain
     ordering; ``tolerance`` — max allowed left.ts − right.ts — is in

@@ -785,6 +785,13 @@ def cross_entropy_score(
             import pyarrow as pa
 
             skeys, svals = bc.value
+            # ~256 KB byte chunks: EVERY numpy temporary below is
+            # chunk-sized, never batch-sized — the first version ran a
+            # whole-batch cumsum whose int64 output was 8x the batch
+            # bytes (~300 MB per 37 MB batch) and measured SLOWER than
+            # the pandas kernel it was meant to beat; same lesson as
+            # the r4 audit, enforced per-intermediate this time
+            _CHUNK_BYTES = 1 << 18
             for rb in rbs:
                 id_arr, t_arr = rb.column(0), rb.column(1)
                 nrows = len(t_arr)
@@ -798,39 +805,40 @@ def cross_entropy_score(
                 data = (np.frombuffer(bufs[2], dtype=np.uint8)
                         if bufs[2] is not None
                         else np.zeros(0, dtype=np.uint8))  # all-null batch
-                lo0, hi0 = int(offs[0]), int(offs[-1])
-                b_all = data[lo0:hi0]
-                # per-doc codepoint counts: non-continuation bytes
-                is_start = (b_all & 0xC0) != 0x80
-                cumS = np.zeros(len(b_all) + 1, dtype=np.int64)
-                np.cumsum(is_start, out=cumS[1:])
-                clen = cumS[offs[1:] - lo0] - cumS[offs[:-1] - lo0]
                 valid = (np.ones(nrows, dtype=bool) if t_arr.null_count == 0
                          else t_arr.is_valid().to_numpy(
                              zero_copy_only=False).astype(bool))
-                keep = valid & (clen >= n)
-                if not keep.any():
-                    continue
-                m_doc = clen - (n - 1)
+                keep = np.zeros(nrows, dtype=bool)
+                m_doc = np.zeros(nrows, dtype=np.int64)
                 bits_doc = np.zeros(nrows, dtype=np.float64)
-                _CHUNK_BYTES = 1 << 18
                 d = 0
                 while d < nrows:
                     e, tot = d, 0
                     while e < nrows and tot < _CHUNK_BYTES:
                         tot += int(offs[e + 1] - offs[e])
                         e += 1
-                    blo, bhi = int(offs[d] - lo0), int(offs[e] - lo0)
-                    seg = b_all[blo:bhi]
-                    if len(seg) == 0 or not keep[d:e].any():
+                    seg = data[offs[d]:offs[e]]
+                    if len(seg) == 0:
                         d = e
                         continue
-                    if (seg & 0x80).any():
-                        cp = _utf8_to_codepoints(seg)
-                    else:  # pure-ASCII chunk: bytes ARE the codepoints
+                    # per-doc codepoint counts from the chunk's
+                    # non-continuation-byte cumsum (chunk-sized temp)
+                    cum = np.zeros(len(seg) + 1, dtype=np.int64)
+                    np.cumsum((seg & 0xC0) != 0x80, out=cum[1:])
+                    rel = offs[d:e + 1] - offs[d]
+                    clen = cum[rel[1:]] - cum[rel[:-1]]
+                    kc = valid[d:e] & (clen >= n)
+                    if not kc.any():
+                        d = e
+                        continue
+                    keep[d:e] = kc
+                    m = clen - (n - 1)
+                    m_doc[d:e] = np.where(kc, m, 0)
+                    if seg.max() < 0x80:  # pure ASCII: bytes ARE codepoints
                         cp = seg.astype(np.uint64)
-                    # doc starts in codepoint units, chunk-relative
-                    coffs = cumS[offs[d:e + 1] - lo0] - cumS[blo]
+                    else:
+                        cp = _utf8_to_codepoints(seg)
+                    coffs = cum[rel]  # doc starts in codepoint units
                     gram = cp[:len(cp) - n + 1] << np.uint64(21 * (n - 1))
                     for j in range(1, n):
                         gram |= cp[j:len(cp) - n + 1 + j] << np.uint64(
@@ -843,12 +851,14 @@ def cross_entropy_score(
                     else:
                         lp = np.full(len(gram), fl)
                     csum = np.concatenate([[0.0], np.cumsum(lp)])
-                    kl = np.nonzero(keep[d:e])[0]
+                    kl = np.nonzero(kc)[0]
                     starts = coffs[kl]
-                    m = m_doc[d:e][kl]
+                    mk = m[kl]
                     bits_doc[d + kl] = np.round(
-                        -(csum[starts + m] - csum[starts]) / m / ln2, 4)
+                        -(csum[starts + mk] - csum[starts]) / mk / ln2, 4)
                     d = e
+                if not keep.any():
+                    continue
                 kidx = np.nonzero(keep)[0]
                 take = pa.array(kidx, type=pa.int64())
                 yield pa.record_batch(

@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "BENCH/lm_arrow_ab_r5.json"
+DOCS = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
 FIXTURE = "/tmp/bench_source_files/r2000000_l6_15"
 
 
@@ -41,7 +42,7 @@ def main() -> None:
     spark = get_spark("lm-arrow-ab", cores=32,
                       extra_conf={"spark.driver.memory": "48g"})
     df = spark.read.parquet(f"{FIXTURE}/input")
-    sample = df.limit(200_000).select(
+    sample = df.limit(DOCS).select(
         "file_sid", df["content"].alias("text")
     ).repartition(64).cache()
     sample.count()
@@ -70,7 +71,7 @@ def main() -> None:
         return row.n, row.h
 
     report = {
-        "what": ("cross_entropy_score n=3 over 200k heavy docs "
+        "what": (f"cross_entropy_score n=3 over {DOCS} heavy docs "
                  f"({total_ngrams / 1e6:.0f}M grams), local[32]"),
         "canary_pre_mips": bench.cpu_canary(32),
         "arms": {},
